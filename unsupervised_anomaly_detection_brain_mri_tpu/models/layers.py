@@ -1,0 +1,218 @@
+"""Shared layer builders for the model zoo.
+
+TPU-native re-design of the reference `models/customlayers.py:16-38`
+(`build_unified_encoder` / `build_unified_decoder`): strided 5x5 convolutions
+down to an intermediate resolution, mirrored transposed convolutions back up.
+
+Architecture parity:
+  * encoder stage i: Conv(k=5, s=2, SAME, filters=min(128, 32*2^i)) -> Norm ->
+    LeakyReLU(0.3)   (`customlayers.py:16-24`; keras LeakyReLU alpha=0.3)
+  * decoder: Norm -> ReLU -> [ConvT(k=5, s=2, filters=max(32, 128/2^i)) ->
+    Norm -> LeakyReLU]*n -> 1x1 Conv to output channels + final activation
+    (`customlayers.py:27-38`)
+  * num stages = log2(width) - log2(intermediate_resolution)
+
+TPU notes:
+  * Convolutions run in bfloat16 (configurable) with float32 params — XLA maps
+    them onto the MXU; 5x5 stride-2 convs at 128x128/bs>=8 are MXU-bound.
+  * Norm defaults to BatchNorm with properly-updated running statistics.  The
+    reference constructed `tf.compat.v1.layers.BatchNormalization` but invoked
+    it without `training=True`, freezing the moving statistics at (0, 1); we
+    implement real BatchNorm (a deliberate, documented deviation that the
+    UPDATE_OPS plumbing in `trainers/DLMODEL.py:128-131` shows was intended).
+    Under a data-parallel mesh the batch statistics are global: XLA reduces
+    over the sharded batch axis automatically in SPMD.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jnp.ndarray
+Dtype = Any
+
+# TF-parity nonlinearity/initialiser constants.
+LEAKY_SLOPE = 0.3  # keras LeakyReLU default alpha
+BN_EPS = 1e-3  # tf.layers BatchNormalization default epsilon
+BN_MOMENTUM = 0.99
+
+conv_init = nn.initializers.glorot_uniform()  # TF1 layers default
+dense_init = nn.initializers.glorot_uniform()
+
+
+def leaky_relu(x: Array) -> Array:
+    return nn.leaky_relu(x, negative_slope=LEAKY_SLOPE)
+
+
+def num_scale_stages(width: int, intermediate_resolution: int) -> int:
+    """log2(width) - log2(intermediate) stages (`customlayers.py:18`)."""
+    return int(math.log2(width) - math.log2(float(intermediate_resolution)))
+
+
+class Norm(nn.Module):
+    """BatchNorm (default) or spatial LayerNorm, selected per-model.
+
+    The LayerNorm variant normalizes over the spatial axes like the
+    reference's `LayerNormalization([1, 2])` (`customlayers.py:22`); scale and
+    bias are per-channel (deviation: the TF layer parameterized per-pixel,
+    which pins the module to a single image size — per-channel keeps the
+    module resolution-agnostic with identical normalization statistics).
+    """
+
+    use_batchnorm: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        if self.use_batchnorm:
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPS,
+                dtype=self.dtype,
+            )(x)
+        return nn.LayerNorm(
+            reduction_axes=(-3, -2), feature_axes=-1, dtype=self.dtype
+        )(x)
+
+
+class UnifiedEncoder(nn.Module):
+    """Strided-conv pyramid down to ``intermediate_resolution``."""
+
+    image_width: int
+    intermediate_resolution: int = 8
+    use_batchnorm: bool = True
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        n = num_scale_stages(self.image_width, self.intermediate_resolution)
+        for i in range(n):
+            filters = int(min(128, 32 * (2 ** i)))
+            x = nn.Conv(
+                filters,
+                kernel_size=(5, 5),
+                strides=(2, 2),
+                padding="SAME",
+                kernel_init=conv_init,
+                dtype=self.dtype,
+                name=f"enc_conv_{i}",
+            )(x)
+            x = Norm(self.use_batchnorm, dtype=self.dtype, name=f"enc_norm_{i}")(
+                x, train=train
+            )
+            x = leaky_relu(x)
+        return x
+
+
+class UnifiedDecoder(nn.Module):
+    """Mirrored transposed-conv pyramid up to ``output_width``."""
+
+    output_width: int
+    output_channels: int = 1
+    intermediate_resolution: int = 8
+    use_batchnorm: bool = True
+    final_activation: Optional[Callable[[Array], Array]] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, *, train: bool) -> Array:
+        n = num_scale_stages(self.output_width, self.intermediate_resolution)
+        x = Norm(self.use_batchnorm, dtype=self.dtype, name="dec_norm_in")(
+            x, train=train
+        )
+        x = nn.relu(x)
+        for i in range(n):
+            filters = int(max(32, 128 // (2 ** i)))
+            x = nn.ConvTranspose(
+                filters,
+                kernel_size=(5, 5),
+                strides=(2, 2),
+                padding="SAME",
+                kernel_init=conv_init,
+                dtype=self.dtype,
+                name=f"dec_convT_{i}",
+            )(x)
+            x = Norm(self.use_batchnorm, dtype=self.dtype, name=f"dec_norm_{i}")(
+                x, train=train
+            )
+            x = leaky_relu(x)
+        x = nn.Conv(
+            self.output_channels,
+            kernel_size=(1, 1),
+            padding="SAME",
+            kernel_init=conv_init,
+            dtype=self.dtype,
+            name="dec_conv_final",
+        )(x)
+        if self.final_activation is not None:
+            x = self.final_activation(x)
+        # Final output always in float32 for stable losses/metrics.
+        return x.astype(jnp.float32)
+
+
+class DenseBottleneck(nn.Module):
+    """1x1-conv channel squeeze -> Dense(zDim) -> Dense back -> 1x1 expand.
+
+    Parity with the reference bottleneck (`models/autoencoder.py:20-31`):
+    the feature map is squeezed to C/8 channels by a 1x1 conv, flattened into
+    Dense(zDim) with dropout on the latent, then projected back and expanded
+    to C channels.  Returns (z, feature_map).
+    """
+
+    z_dim: int
+    dropout_rate: float = 0.2
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, *, dropout: bool) -> Tuple[Array, Array]:
+        channels = x.shape[-1]
+        squeezed = nn.Conv(
+            channels // 8, kernel_size=(1, 1), padding="SAME",
+            kernel_init=conv_init, dtype=self.dtype, name="intermediate_conv",
+        )(x)
+        reshape = squeezed.shape[1:]
+        flat = squeezed.reshape((squeezed.shape[0], -1))
+        drop = nn.Dropout(self.dropout_rate)
+        z = drop(
+            nn.Dense(self.z_dim, kernel_init=dense_init, dtype=self.dtype,
+                     name="z_layer")(flat),
+            deterministic=not dropout,
+        )
+        dec = drop(
+            nn.Dense(math.prod(reshape), kernel_init=dense_init,
+                     dtype=self.dtype, name="dec_dense")(z),
+            deterministic=not dropout,
+        )
+        out = nn.Conv(
+            channels, kernel_size=(1, 1), padding="SAME", kernel_init=conv_init,
+            dtype=self.dtype, name="intermediate_conv_reverse",
+        )(dec.reshape((x.shape[0],) + tuple(reshape)))
+        return z.astype(jnp.float32), out
+
+
+class MLPDiscriminator(nn.Module):
+    """Latent-space MLP discriminator (AAE family).
+
+    Parity: `models/adversarial_autoencoder.py:45-49` (50-50-1),
+    `models/constrained_adversarial_autoencoder.py` (100-50-1),
+    `models/constrained_adversarial_autoencoder_Chen.py` (400-200-1).
+    """
+
+    hidden: Sequence[int] = (50, 50)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, z: Array) -> Array:
+        h = z
+        for i, width in enumerate(self.hidden):
+            h = nn.Dense(width, kernel_init=dense_init, dtype=self.dtype,
+                         name=f"disc_dense_{i}")(h)
+            h = leaky_relu(h)
+        d = nn.Dense(1, kernel_init=dense_init, dtype=self.dtype,
+                     name="disc_out")(h)
+        return d.astype(jnp.float32)

@@ -1,0 +1,93 @@
+"""Input-gradient restoration and gradient-based anomaly maps.
+
+Parity targets:
+  * `trainers/VAE_You.py:125-147` — 150 gradient-descent steps on the INPUT
+    minimising ``pixel_loss + tv_lambda * TV(x - x_hat)``; the reference ran
+    150 `sess.run` round-trips per slice; here the whole loop is ONE
+    `lax.fori_loop` inside jit (the single biggest eval speedup, SURVEY 3.2).
+  * `trainers/GMVAE.py:94-95,166-197` — same loop with the GMVAE 4-term loss.
+  * `trainers/ceVAE.py:51,136-139` — one-shot gradient anomaly map
+    ``L1_vae * |d loss_vae / d x|`` and restoration ``x - lambda * anomaly``.
+  * `trainers/VAE_You.py:149-173` — ``determine_best_lambda`` sweep over
+    tv_lambda in {0.0,...,1.9}, vectorised on device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unsupervised_anomaly_detection_brain_mri_tpu.train.losses import (
+    total_variation,
+)
+
+Array = jnp.ndarray
+
+# pixel_loss_fn(x) -> per-sample loss vector (B,) — closes over params; must
+# be pure and dropout-free (eval-time restoration).
+PixelLossFn = Callable[[Array], Array]
+
+
+def restoration_grads(pixel_loss_fn: PixelLossFn, recon_fn: Callable[[Array], Array],
+                      x: Array, tv_lambda: Array) -> Array:
+    """d(pixel_loss + tv_lambda*TV(x - recon(x))) / dx, like the reference
+    graph `trainers/VAE_You.py:53-54`."""
+
+    def total(x_in: Array) -> Array:
+        pixel = pixel_loss_fn(x_in)
+        restore = tv_lambda * total_variation(x_in - recon_fn(x_in))
+        return jnp.sum(pixel + restore)
+
+    return jax.grad(total)(x)
+
+
+def restore_inputs(
+    pixel_loss_fn: PixelLossFn,
+    recon_fn: Callable[[Array], Array],
+    x: Array,
+    tv_lambda: Array,
+    restore_lr: float,
+    restore_steps: int,
+) -> Array:
+    """Iterative input restoration: ``x <- x - lr * grads`` for
+    ``restore_steps`` iterations, entirely on device."""
+
+    def body(_, restored):
+        g = restoration_grads(pixel_loss_fn, recon_fn, restored, tv_lambda)
+        return restored - restore_lr * g
+
+    return jax.lax.fori_loop(0, restore_steps, body, x)
+
+
+def gradient_anomaly_map(loss_vae_fn: Callable[[Array], Array],
+                         l1_vae: Array, x: Array) -> Array:
+    """ceVAE anomaly map: ``L1_vae * |d loss_vae / d x|``
+    (`trainers/ceVAE.py:51`)."""
+    g = jax.grad(lambda xi: jnp.sum(loss_vae_fn(xi)))(x)
+    return l1_vae * jnp.abs(g)
+
+
+def determine_best_lambda(
+    restore_fn: Callable[[Array, Array], Array],
+    batches: Array,
+    lambdas: Array,
+) -> Tuple[Array, Array]:
+    """Sweep tv_lambda values, returning (best_lambda, mean_errors).
+
+    ``restore_fn(x, tv_lambda) -> restored``; error = sum |x - restored| per
+    batch, averaged over batches (`trainers/VAE_You.py:149-173`).  The sweep
+    runs each lambda sequentially (jit-compiled once) — lambdas is a 1-D
+    array, batches a (N, B, H, W, C) stack.
+    """
+
+    def err_for_lambda(lam):
+        def err_one(b):
+            restored = restore_fn(b, lam)
+            return jnp.sum(jnp.abs(b - restored))
+
+        return jnp.mean(jax.vmap(err_one)(batches))
+
+    errors = jax.lax.map(err_for_lambda, lambdas)
+    return lambdas[jnp.argmin(errors)], errors
