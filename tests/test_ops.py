@@ -1,0 +1,146 @@
+"""Parity tests: on-device ops vs scipy/sklearn host references.
+
+SURVEY.md section 4(f): our on-device AUROC/AUPRC/Dice/morphology must
+match the host libraries the reference used.
+"""
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+from sklearn import metrics as skm
+
+import jax.numpy as jnp
+
+from unsupervised_anomaly_detection_brain_mri_tpu.ops import metrics as M
+from unsupervised_anomaly_detection_brain_mri_tpu.ops import postprocess as P
+
+
+@pytest.fixture()
+def scores_labels(rng):
+    scores = rng.uniform(0, 1, 5000).astype(np.float32)
+    # quantize to force ties (the hard case for curve parity)
+    scores = np.round(scores * 50) / 50
+    labels = (rng.uniform(size=5000) < 0.1).astype(np.int32)
+    # plant signal so curves are non-trivial
+    scores[labels == 1] += 0.3
+    scores = np.clip(scores, 0, 1.5)
+    return scores, labels
+
+
+def test_roc_auc_matches_sklearn(scores_labels):
+    scores, labels = scores_labels
+    expected = skm.roc_auc_score(labels, scores)
+    got = float(M.roc_auc(jnp.asarray(scores), jnp.asarray(labels)))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_average_precision_matches_sklearn(scores_labels):
+    scores, labels = scores_labels
+    expected = skm.average_precision_score(labels, scores)
+    got = float(M.average_precision(jnp.asarray(scores), jnp.asarray(labels)))
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_dice_matches_reference_formula(rng):
+    p = (rng.uniform(size=1000) < 0.2).astype(np.float32)
+    g = (rng.uniform(size=1000) < 0.2).astype(np.float32)
+    expected = 2 * np.sum(p * g) / (np.sum(p) + np.sum(g))
+    np.testing.assert_allclose(float(M.dice(jnp.asarray(p), jnp.asarray(g))),
+                               expected, rtol=1e-6)
+
+
+def test_best_dice_threshold_is_global_optimum(scores_labels):
+    scores, labels = scores_labels
+    best, thresh = M.best_dice_threshold(
+        jnp.asarray(scores), jnp.asarray(labels))
+    best, thresh = float(best), float(thresh)
+    # realises its own claim under the reference's strict > convention
+    realized = float(M.dice_at_threshold(
+        jnp.asarray(scores), jnp.asarray(labels), thresh))
+    np.testing.assert_allclose(realized, best, rtol=1e-6)
+    # beats (or ties) a dense grid sweep like the reference's adaptive search
+    grid = np.linspace(0, 1.5, 2000)
+    grid_best = max(
+        2 * np.sum((scores > t) * labels)
+        / max(np.sum(scores > t) + np.sum(labels), 1) for t in grid)
+    assert best >= grid_best - 1e-6
+
+
+def test_confusion_and_vd(rng):
+    p = rng.uniform(size=500) < 0.3
+    g = rng.uniform(size=500) < 0.3
+    tp, fp, tn, fn = (int(v) for v in M.confusion_matrix(
+        jnp.asarray(p), jnp.asarray(g)))
+    assert tp == np.sum(p & g) and fp == np.sum(p & ~g)
+    assert tn == np.sum(~p & ~g) and fn == np.sum(~p & g)
+    expected_vd = np.sum(np.logical_xor(p & g, g)) / np.sum(g)
+    np.testing.assert_allclose(
+        float(M.vd(jnp.asarray(p), jnp.asarray(g))), expected_vd, rtol=1e-6)
+
+
+def test_binary_erosion_matches_scipy(rng):
+    mask = rng.uniform(size=(3, 40, 40)) < 0.7
+    strel = ndi.generate_binary_structure(2, 1)
+    expected = np.stack([
+        ndi.binary_erosion(m, structure=strel, iterations=4) for m in mask])
+    got = np.asarray(P.binary_erosion_2d(jnp.asarray(mask), 4))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_median_filter_matches_scipy(rng):
+    vol = rng.uniform(size=(12, 20, 20)).astype(np.float32)
+    expected = ndi.median_filter(vol, size=5)
+    got = np.asarray(P.median_filter_3d(jnp.asarray(vol), kernel=5, chunk=5))
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_connected_components_filter_matches_scipy(rng):
+    mask = (rng.uniform(size=(10, 24, 24)) < 0.08)
+    # scipy with 26-connectivity structure == skimage connectivity=3
+    structure = np.ones((3, 3, 3), bool)
+    lab, n = ndi.label(mask, structure=structure)
+    expected = mask.copy()
+    for i in range(1, n + 1):
+        if (lab == i).sum() <= 7:
+            expected[lab == i] = False
+    got = np.asarray(P.filter_small_components(jnp.asarray(mask), 7)) > 0
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_num_components_matches_scipy(rng):
+    mask = rng.uniform(size=(8, 20, 20)) < 0.05
+    structure = np.ones((3, 3, 3), bool)
+    _, n = ndi.label(mask, structure=structure)
+    got = int(P.num_components(P.connected_components_3d(jnp.asarray(mask))))
+    assert got == n
+
+
+def test_detection_counts(rng):
+    # construct a controlled scene: 2 gt lesions, pred hits one, adds one FP
+    gt = np.zeros((10, 32, 32), bool)
+    gt[2:5, 5:9, 5:9] = True       # lesion A
+    gt[6:8, 20:24, 20:24] = True   # lesion B
+    pred = np.zeros_like(gt)
+    pred[2:5, 6:10, 6:10] = True   # overlaps A
+    pred[1:3, 25:29, 2:6] = True   # false positive (>= 8 voxels)
+    tps, fps, fns = (int(v) for v in P.detection_counts_chunk(
+        jnp.asarray(pred), jnp.asarray(gt)))
+    assert (tps, fps, fns) == (1, 1, 1)
+
+
+def test_small_pred_component_ignored():
+    gt = np.zeros((6, 16, 16), bool)
+    pred = np.zeros_like(gt)
+    pred[0, 0:2, 0:3] = True  # 6 voxels < 8 -> dropped, no FP
+    tps, fps, fns = (int(v) for v in P.detection_counts_chunk(
+        jnp.asarray(pred), jnp.asarray(gt)))
+    assert (tps, fps, fns) == (0, 0, 0)
+
+
+def test_combined_predictive_uncertainty(rng):
+    p = rng.normal(size=(5, 4, 4)).astype(np.float32)
+    s = np.abs(rng.normal(size=(5, 4, 4))).astype(np.float32)
+    expected = (np.mean(p ** 2, 0) - np.mean(p, 0) ** 2 + np.mean(s, 0))
+    got = np.asarray(M.combined_predictive_uncertainty(
+        jnp.asarray(p), jnp.asarray(s), axis=0))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-6)

@@ -1,0 +1,343 @@
+"""Volume-wise evaluation driver.
+
+Parity map (all citations into `/root/reference/utils/Evaluation.py`):
+  * `_evaluate` (:183-365) — per-patient volume reload, slice resize (scipy
+    zoom, preserving the reference's eval-path resize semantics vs the cv2
+    train path), MC-dropout sampling, residual post-processing, 3-D median
+    filter; here the whole volume is ONE device batch and the entire
+    residual pipeline is jitted.
+  * `evaluate` (:372-526) — ROC/PRC/DICE-curve metrics on flattened voxels,
+    threshold selection ('bestdice' or numeric), 26-connected component
+    filtering, global + per-patient Dice/Precision/Recall, lesion detection
+    counts at the precision-70 operating point, evalPC.npy/txt export.
+  * `determine_threshold_on_labeled_patients` (:529-567) — VAL-split
+    threshold fitting for threshold-transfer evaluation.
+
+Known reference bug NOT reproduced: `eval_pc['FPR']` was computed with
+`Metrics.tpr` (:489); we report the true FPR.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import ndimage as ndi
+
+from unsupervised_anomaly_detection_brain_mri_tpu.config import Config, Options
+from unsupervised_anomaly_detection_brain_mri_tpu.ops import metrics as M
+from unsupervised_anomaly_detection_brain_mri_tpu.ops import postprocess as P
+
+
+def _zoom_volume(vol: np.ndarray, target: Tuple[int, int],
+                 seg: bool = False) -> np.ndarray:
+    """Per-slice scipy zoom, parity with the eval path (:228-232).
+
+    vol: (H, W, S) -> (S, target_h, target_w); images use default spline
+    order, segmentations keep the reference's (order-3, boundary 'nearest')
+    call then binarize downstream.
+    """
+    H, W, S = vol.shape
+    if (H, W) == tuple(target):
+        return np.transpose(vol, (2, 0, 1)).astype(np.float32)
+    zoom = (target[0] / H, target[1] / W)
+    out = np.zeros((S, target[0], target[1]), np.float32)
+    for s in range(S):
+        if seg:
+            out[s] = ndi.zoom(vol[:, :, s], zoom, mode="nearest")
+        else:
+            out[s] = ndi.zoom(vol[:, :, s], zoom)
+    return out
+
+
+def _reconstruct_volume(trainer, state, x: np.ndarray, options: Options,
+                        rng: jax.Array) -> Dict[str, np.ndarray]:
+    """Reconstruct all slices of one volume, with optional MC dropout.
+
+    x: (S, H, W, 1).  Returns reconstruction (mean if MC), per-slice l1/l2
+    errors, and epistemic variance when MC sampling is on (:238-272).
+    """
+    mc = int(options.numMonteCarloSamples or 0)
+    if mc > 1:
+        recs = []
+        for i in range(mc):
+            r = trainer.reconstruct(state, x, dropout=True,
+                                    rng=jax.random.fold_in(rng, i))
+            recs.append(r["reconstruction"])
+        recs = np.stack(recs, axis=0)
+        rec_mean = recs.mean(axis=0)
+        epistemic = np.asarray(M.combined_predictive_uncertainty(
+            jnp.asarray(recs), jnp.zeros_like(jnp.asarray(recs)), axis=0))
+        rec = rec_mean
+    else:
+        r = trainer.reconstruct(state, x, dropout=False, rng=rng)
+        rec = r["reconstruction"]
+        epistemic = None
+    l1 = np.sum(np.abs(x - rec), axis=(1, 2, 3))
+    l2 = np.sum(np.sqrt((x - rec) ** 2), axis=(1, 2, 3))
+    return {"reconstruction": rec, "epistemic": epistemic,
+            "l1": l1, "l2": l2}
+
+
+def _postprocess_jit(erosion_iters: int):
+    """Jitted residual pipeline: residual -> eroded brainmask -> prior ->
+    median filter (:282-312).  Erosion iterations are compile-time (the
+    reference used 12 at 128x128; smaller images need fewer)."""
+
+    @jax.jit
+    def fn(x, rec, skullmap, prior_q, keep_pos, erode, use_prior,
+           use_median):
+        diff = jnp.where(keep_pos, jnp.maximum(x - rec, 0.0),
+                         jnp.abs(x - rec))
+        eroded = jnp.where(
+            erode, P.binary_erosion_2d(skullmap, erosion_iters),
+            skullmap.astype(bool))
+        diff = diff * eroded.astype(diff.dtype)
+        diff = jnp.where(use_prior & (x < prior_q), 0.0, diff)
+        filtered = P.median_filter_3d(diff, 5)
+        return jnp.where(use_median, filtered, diff)
+
+    return fn
+
+
+_POSTPROCESS_CACHE: Dict[Tuple, Any] = {}
+
+
+def _postprocess(x, rec, skullmap, prior_q, options: Options):
+    key = int(options.erosionIterations)
+    if key not in _POSTPROCESS_CACHE:
+        _POSTPROCESS_CACHE[key] = _postprocess_jit(key)
+    return _POSTPROCESS_CACHE[key](
+        jnp.asarray(x), jnp.asarray(rec), jnp.asarray(skullmap),
+        jnp.float32(prior_q),
+        jnp.bool_(options.keepOnlyPositiveResiduals),
+        jnp.bool_(options.erodeBrainmask),
+        jnp.bool_(options.applyHyperIntensityPrior),
+        jnp.bool_(options.medianFiltering))
+
+
+def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
+              config: Config, split: str = "TEST") -> Tuple[Dict, List]:
+    """Per-patient reconstruction + residual post-processing (:183-365)."""
+    os.makedirs(sample_dir, exist_ok=True)
+    patients = dataset.patients_of(split)
+    print(f"Testing {len(patients)} patients...")
+
+    xs, recs, diffs, labelmaps = [], [], [], []
+    l1s, l2s, times, epistemics = [], [], [], []
+    target = (config.outputHeight, config.outputWidth)
+    rng = jax.random.key(config.seed + 7)
+
+    for p, patient in enumerate(patients):
+        vol, gt, brainmask, skullmap = dataset.load_volume_and_groundtruth(
+            patient)
+        s0 = getattr(dataset.options, "sliceStart", 0)
+        s1 = min(getattr(dataset.options, "sliceEnd", vol.shape[2]),
+                 vol.shape[2])
+        x = _zoom_volume(vol[:, :, s0:s1], target)  # (S, H, W)
+        seg = _zoom_volume(gt[:, :, s0:s1], target, seg=True)
+        skm = _zoom_volume(skullmap[:, :, s0:s1], target, seg=True)
+        seg = (seg > 0.5).astype(np.float32)
+        skm = (skm > 0.5).astype(np.float32)
+        prior_q = float(np.quantile(vol, 0.9))
+
+        t0 = time.time()
+        res = _reconstruct_volume(trainer, state, x[..., None], options,
+                                  jax.random.fold_in(rng, p))
+        times.append((time.time() - t0) / max(len(x), 1))
+        rec = res["reconstruction"][..., 0]
+
+        diff = np.asarray(_postprocess(x, rec, skm, prior_q, options))
+
+        xs.append(x)
+        recs.append(rec)
+        diffs.append(diff)
+        labelmaps.append(seg)
+        l1s.extend(res["l1"].tolist())
+        l2s.extend(res["l2"].tolist())
+        if res["epistemic"] is not None:
+            epistemics.append(res["epistemic"][..., 0])
+
+    eval_dict = {
+        "x": np.concatenate(xs) if xs else np.zeros((0,) + target),
+        "reconstructions": np.concatenate(recs) if recs else None,
+        "diffs": np.concatenate(diffs) if diffs else None,
+        "labelmaps": np.concatenate(labelmaps) if labelmaps else None,
+        "slices_per_patient": [len(x) for x in xs],
+        "l1reconstructionErrors": l1s,
+        "l2reconstructionErrors": l2s,
+        "l1reconstructionErrorMean": float(np.mean(l1s)) if l1s else 0.0,
+        "l1reconstructionErrorVariance": float(np.var(l1s)) if l1s else 0.0,
+        "l2reconstructionErrorMean": float(np.mean(l2s)) if l2s else 0.0,
+        "l2reconstructionErrorVariance": float(np.var(l2s)) if l2s else 0.0,
+        "reconstructionTimes": float(np.mean(times)) if times else 0.0,
+        "TPCC": 0, "FPCC": 0, "FNCC": 0,
+    }
+    if epistemics:
+        eval_dict["epistemic_variance"] = np.concatenate(epistemics)
+    return eval_dict, patients
+
+
+def evaluate(dataset, trainer, state, options: Options, config: Config,
+             epoch: Any = "last", description: Optional[str] = None
+             ) -> Dict[str, Any]:
+    """Full TEST evaluation (:372-526).  Returns the eval dict and writes
+    evalPC.npy / evalPC.txt / curve artifacts under the eval dir."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval import artifacts
+
+    ts = time.strftime("%Y%m%d-%H%M%S")
+    eval_dir = os.path.join(
+        options.paths.sample_dir, config.model,
+        config.model_dir(str(getattr(dataset, "name", "ds"))),
+        f"eval-{epoch}-{ts}" + (f"-{description}" if description else ""))
+    sample_dir = os.path.join(eval_dir, "samples_test_PC")
+    os.makedirs(sample_dir, exist_ok=True)
+
+    eval_pc, patients = _evaluate(dataset, trainer, state, sample_dir,
+                                  options, config, split="TEST")
+    diffs = jnp.asarray(eval_pc["diffs"])
+    labels = jnp.asarray(eval_pc["labelmaps"])
+    flat_scores = diffs.ravel()
+    flat_labels = labels.ravel() > 0.5
+
+    # ROC / PRC (:414-440)
+    if options.computeROC:
+        t0 = time.time()
+        eval_pc["diff_AUC"] = float(M.roc_auc(flat_scores, flat_labels))
+        roc = {k: np.asarray(v) for k, v in M.roc_curve_points(
+            flat_scores, flat_labels).items()}
+        np.save(os.path.join(eval_dir, "rocPC.npy"), roc,
+                allow_pickle=True)
+        artifacts.plot_roc(roc, eval_pc["diff_AUC"],
+                           os.path.join(eval_dir, "rocPC.png"))
+        print(f"ROC done in {time.time() - t0:.2f}s "
+              f"(AUC={eval_pc['diff_AUC']:.4f})")
+    if options.computePRC:
+        t0 = time.time()
+        eval_pc["diff_AUPRC"] = float(
+            M.average_precision(flat_scores, flat_labels))
+        prc = {k: np.asarray(v) for k, v in M.prc_curve_points(
+            flat_scores, flat_labels).items()}
+        np.save(os.path.join(eval_dir, "prcPC.npy"), prc,
+                allow_pickle=True)
+        artifacts.plot_prc(prc, eval_pc["diff_AUPRC"],
+                           os.path.join(eval_dir, "prcPC.png"))
+        print(f"PRC done in {time.time() - t0:.2f}s "
+              f"(AUPRC={eval_pc['diff_AUPRC']:.4f})")
+
+    # best-dice threshold sweep (:442-451)
+    t0 = time.time()
+    best_dice, best_thresh = M.best_dice_threshold(flat_scores, flat_labels)
+    eval_pc["bestDiceScore"] = float(best_dice)
+    eval_pc["bestThreshold"] = float(best_thresh)
+    print(f"DICE curve done in {time.time() - t0:.2f}s "
+          f"(best {eval_pc['bestDiceScore']:.4f} @ "
+          f"{eval_pc['bestThreshold']:.5f})")
+
+    # threshold selection + CC filtering (:453-458)
+    threshold = (eval_pc["bestThreshold"] if options.threshold is None
+                 else float(options.threshold))
+    eval_pc["thresholdType"] = (
+        "bestdice" if options.threshold is None else options.threshold)
+    thresholded = P.filter_small_components(
+        diffs > threshold, options.minLesionSize)
+
+    # precision-70 operating point for detection counts (:425-440)
+    if options.computePRC:
+        prec = prc["precisions"]
+        idx70 = int(np.argmax(prec <= 0.7))
+        t70 = float(prc["thresholds"][idx70])
+        thresholded_p70 = P.filter_small_components(
+            diffs > t70, options.minLesionSize)
+    else:
+        thresholded_p70 = thresholded
+
+    # global + per-patient metrics (:461-491)
+    eval_pc["DiceScore"] = float(M.dice(thresholded, labels))
+    per_dice, per_prec, per_rec = [], [], []
+    tpcc = fpcc = fncc = 0
+    start = 0
+    for n_slices, patient in zip(eval_pc["slices_per_patient"], patients):
+        sl = slice(start, start + n_slices)
+        pv = thresholded[sl]
+        gv = labels[sl] > 0.5
+        per_dice.append(float(M.dice(pv, gv)))
+        per_prec.append(float(M.precision(pv, gv)))
+        per_rec.append(float(M.recall(pv, gv)))
+        t, f, n = P.compute_detection_rate(thresholded_p70[sl], gv)
+        tpcc += int(t)
+        fpcc += int(f)
+        fncc += int(n)
+        start += n_slices
+    eval_pc.update(
+        DiceScorePerPatient=per_dice,
+        DiceScorePerPatientMean=float(np.mean(per_dice)) if per_dice else 0.0,
+        DiceScorePerPatientStd=float(np.std(per_dice)) if per_dice else 0.0,
+        PrecisionPerPatient=per_prec,
+        PrecisionPerPatientMean=(float(np.nanmean(per_prec))
+                                 if per_prec else 0.0),
+        PrecisionPerPatientStd=(float(np.nanstd(per_prec))
+                                if per_prec else 0.0),
+        RecallPerPatient=per_rec,
+        RecallPerPatientMean=float(np.mean(per_rec)) if per_rec else 0.0,
+        RecallPerPatientStd=float(np.std(per_rec)) if per_rec else 0.0,
+        TPCC=tpcc, FPCC=fpcc, FNCC=fncc,
+    )
+    tp, fp, tn, fn = (int(v) for v in M.confusion_matrix(thresholded, labels))
+    eval_pc.update(TP=tp, FP=fp, TN=tn, FN=fn)
+    eval_pc["TPR"] = float(M.tpr(thresholded, labels))
+    eval_pc["FPR"] = float(M.fpr(thresholded, labels))
+    eval_pc["VD"] = float(M.vd(thresholded, labels))
+    eval_pc["TPRCC"] = tpcc / (tpcc + fncc) if (tpcc + fncc) > 0 else 0.0
+    eval_pc["PrecisionCC"] = tpcc / (tpcc + fpcc) if (tpcc + fpcc) > 0 else 0.0
+
+    if options.exportPNGs:
+        artifacts.export_slice_images(
+            sample_dir, eval_pc["x"], eval_pc["reconstructions"],
+            eval_pc["diffs"], eval_pc["labelmaps"],
+            np.asarray(thresholded))
+
+    # evalPC export (:519-526)
+    export = {k: v for k, v in eval_pc.items()
+              if k not in ("x", "diffs", "labelmaps", "reconstructions",
+                           "l1reconstructionErrors",
+                           "l2reconstructionErrors", "epistemic_variance")}
+    np.save(os.path.join(eval_dir, "evalPC.npy"), export)  # type: ignore
+    with open(os.path.join(eval_dir, "evalPC.txt"), "w") as f:
+        f.write(str(export))
+    with open(os.path.join(eval_dir, "evalPC.json"), "w") as f:
+        json.dump({k: v for k, v in export.items()
+                   if isinstance(v, (int, float, str, list))}, f, indent=2)
+    eval_pc["eval_dir"] = eval_dir
+    return eval_pc
+
+
+def determine_threshold_on_labeled_patients(
+    datasets, trainer, state, options: Options, config: Config,
+    epoch: Any = "last", description: Optional[str] = None
+) -> Tuple[float, float]:
+    """Fit (bestDice, bestThreshold) on VAL splits (:529-567)."""
+    if not isinstance(datasets, list):
+        datasets = [datasets]
+    all_diffs, all_labels = [], []
+    ts = time.strftime("%Y%m%d-%H%M%S")
+    eval_dir = os.path.join(
+        options.paths.sample_dir, config.model,
+        config.model_dir("val"), f"eval-{epoch}-{ts}")
+    sample_dir = os.path.join(eval_dir, "samples_val_PC")
+    for ds in datasets:
+        ed, _ = _evaluate(ds, trainer, state, sample_dir, options, config,
+                          split="VAL")
+        if ed["diffs"] is not None and len(ed["diffs"]):
+            all_diffs.append(ed["diffs"])
+            all_labels.append(ed["labelmaps"])
+    diffs = jnp.asarray(np.concatenate(all_diffs))
+    labels = jnp.asarray(np.concatenate(all_labels)) > 0.5
+    best_dice, best_thresh = M.best_dice_threshold(
+        diffs.ravel(), labels.ravel())
+    return float(best_dice), float(best_thresh)

@@ -1,0 +1,207 @@
+"""On-device segmentation/detection metrics.
+
+Re-implements `trainers/Metrics.py` as jit-safe jnp: DICE, confusion
+counts, TPR/FPR/precision/recall/VD, exact ROC-AUC (sklearn `roc_curve` +
+trapezoid semantics incl. tie collapsing), exact average precision
+(sklearn `average_precision_score` step-sum semantics), and the best-DICE
+threshold search.
+
+The reference's `compute_dice_curve_recursive` (`trainers/Metrics.py:
+110-162`) adaptively refines a grid to granularity 1e-(g-1); here the
+optimum over ALL distinct cut points is computed exactly in one sorted
+sweep — a strict superset of the reference's search domain, on device.
+
+The tie-collapsing machinery: sort scores descending, take cumulative
+TP/FP, keep "group end" positions where the score changes, and gather each
+group end's predecessor via a scatter into a (N+1,)-slot table indexed by
+the group number.  This reproduces sklearn's curves exactly with static
+shapes (no boolean indexing).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# pointwise / confusion metrics (parity: `trainers/Metrics.py:67-107`)
+
+
+def dice(P: Array, G: Array) -> Array:
+    """(2*sum(P*G)) / (sum(P)+sum(G)) — no epsilon (`Metrics.py:67-72`)."""
+    P = P.astype(jnp.float32).ravel()
+    G = G.astype(jnp.float32).ravel()
+    return (2.0 * jnp.sum(P * G)) / (jnp.sum(P) + jnp.sum(G))
+
+
+def confusion_matrix(P: Array, G: Array) -> Tuple[Array, Array, Array, Array]:
+    P = P.astype(bool).ravel()
+    G = G.astype(bool).ravel()
+    tp = jnp.sum(P & G)
+    fp = jnp.sum(P & ~G)
+    fn = jnp.sum(~P & G)
+    tn = jnp.sum(~P & ~G)
+    return tp, fp, tn, fn
+
+
+def tpr(P: Array, G: Array) -> Array:
+    tp, fp, tn, fn = confusion_matrix(P, G)
+    return tp / (tp + fn)
+
+
+def fpr(P: Array, G: Array) -> Array:
+    tp, fp, tn, fn = confusion_matrix(P, G)
+    return fp / (fp + tn)
+
+
+def precision(P: Array, G: Array) -> Array:
+    tp, fp, tn, fn = confusion_matrix(P, G)
+    return tp / (tp + fp)
+
+
+def recall(P: Array, G: Array) -> Array:
+    return tpr(P, G)
+
+
+def vd(P: Array, G: Array) -> Array:
+    """Volume difference: sum(|xor(P&G, G)|)/sum(G) (`Metrics.py:105-107`)."""
+    P = P.astype(bool).ravel()
+    G = G.astype(bool).ravel()
+    tps = P & G
+    return jnp.sum(jnp.logical_xor(tps, G).astype(jnp.float32)) / jnp.sum(
+        G.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# sorted-sweep machinery
+
+
+def _sorted_counts(scores: Array, labels: Array):
+    """Sort desc; cumulative tp/fp; distinct-score group-end mask."""
+    scores = scores.ravel().astype(jnp.float32)
+    labels = labels.ravel().astype(jnp.float32)
+    order = jnp.argsort(-scores)
+    s = scores[order]
+    l = labels[order]
+    tps = jnp.cumsum(l)
+    fps = jnp.cumsum(1.0 - l)
+    distinct = jnp.concatenate(
+        [s[:-1] != s[1:], jnp.ones((1,), bool)])
+    return s, tps, fps, distinct
+
+
+def _prev_group_values(values: Array, distinct: Array) -> Array:
+    """For each group-end position, the value at the PREVIOUS group end
+    (0 for the first group).  Static-shape scatter/gather."""
+    n = values.shape[0]
+    gid = jnp.cumsum(distinct.astype(jnp.int32))  # 1-based at group ends
+    table = jnp.zeros((n + 1,), values.dtype)
+    idx = jnp.where(distinct, gid, 0)
+    table = table.at[idx].set(jnp.where(distinct, values, 0.0))
+    # table[0] collects all non-end writes (0); group g's value at table[g]
+    return table[jnp.maximum(gid - 1, 0)] * (gid > 1)
+
+
+def roc_auc(scores: Array, labels: Array) -> Array:
+    """Exact AUROC with sklearn tie handling (`Metrics.py:45-64`)."""
+    s, tps, fps, distinct = _sorted_counts(scores, labels)
+    P = tps[-1]
+    N = fps[-1]
+    tpr_v = tps / P
+    fpr_v = fps / N
+    tpr_prev = _prev_group_values(tpr_v, distinct)
+    fpr_prev = _prev_group_values(fpr_v, distinct)
+    seg = jnp.where(distinct,
+                    (fpr_v - fpr_prev) * (tpr_v + tpr_prev) * 0.5, 0.0)
+    return jnp.sum(seg)
+
+
+def average_precision(scores: Array, labels: Array) -> Array:
+    """sklearn ``average_precision_score``: sum over distinct thresholds of
+    (R_n - R_{n-1}) * P_n (`Metrics.py:17-42`)."""
+    s, tps, fps, distinct = _sorted_counts(scores, labels)
+    P = tps[-1]
+    prec = tps / jnp.maximum(tps + fps, 1.0)
+    tps_prev = _prev_group_values(tps, distinct)
+    seg = jnp.where(distinct, (tps - tps_prev) / P * prec, 0.0)
+    return jnp.sum(seg)
+
+
+def roc_curve_points(scores: Array, labels: Array, num_points: int = 256
+                     ) -> Dict[str, Array]:
+    """(fpr, tpr, thresholds) sampled on an even threshold grid for curve
+    artifacts (rocPC.npy parity; the exact AUC comes from roc_auc)."""
+    scores = scores.ravel().astype(jnp.float32)
+    labels = labels.ravel().astype(bool)
+    lo, hi = jnp.min(scores), jnp.max(scores)
+    ts = jnp.linspace(hi, lo, num_points)
+    P = jnp.sum(labels)
+    N = labels.size - P
+
+    def at_t(t):
+        pred = scores > t
+        tp = jnp.sum(pred & labels)
+        fp = jnp.sum(pred & ~labels)
+        return fp / N, tp / P
+
+    f, t = jax.vmap(at_t)(ts)
+    return {"fpr": f, "tpr": t, "thresholds": ts}
+
+
+def prc_curve_points(scores: Array, labels: Array, num_points: int = 256
+                     ) -> Dict[str, Array]:
+    scores = scores.ravel().astype(jnp.float32)
+    labels = labels.ravel().astype(bool)
+    lo, hi = jnp.min(scores), jnp.max(scores)
+    ts = jnp.linspace(hi, lo, num_points)
+    P = jnp.sum(labels)
+
+    def at_t(t):
+        pred = scores > t
+        tp = jnp.sum(pred & labels)
+        fp = jnp.sum(pred & ~labels)
+        return tp / jnp.maximum(tp + fp, 1), tp / P
+
+    prec, rec = jax.vmap(at_t)(ts)
+    return {"precisions": prec, "recalls": rec, "thresholds": ts}
+
+
+def best_dice_threshold(scores: Array, labels: Array) -> Tuple[Array, Array]:
+    """Global-optimum (dice, threshold) over all cut points.
+
+    Parity: `Metrics.py:110-162` searched an adaptive grid; this sweep
+    covers every distinct score, so its optimum is >= the reference's and
+    the reported threshold realises it under the reference's strict
+    ``scores > t`` convention.
+    """
+    s, tps, fps, distinct = _sorted_counts(scores, labels)
+    P = tps[-1]
+    dice_v = 2.0 * tps / (tps + fps + P)
+    dice_v = jnp.where(distinct, dice_v, -1.0)
+    i = jnp.argmax(dice_v)
+    best = dice_v[i]
+    # threshold: any t in [next distinct score, s_i) realises this cut under
+    # "> t"; use the next distinct score (or 0 beyond the last group).
+    n = s.shape[0]
+    nxt = jnp.where(i + 1 < n, s[jnp.minimum(i + 1, n - 1)], 0.0)
+    return best, nxt
+
+
+def dice_at_threshold(scores: Array, labels: Array, t: Array) -> Array:
+    return dice((scores > t).astype(jnp.float32), labels)
+
+
+def combined_predictive_uncertainty(p: Array, sigmas: Array, axis: int = -1,
+                                    log_var: bool = False) -> Array:
+    """Kendall & Gal combined aleatoric+epistemic variance
+    (`Metrics.py:170-173`)."""
+    if log_var:
+        sigmas = jnp.exp(sigmas)
+    return (jnp.mean(jnp.square(p), axis=axis)
+            - jnp.square(jnp.mean(p, axis=axis))
+            + jnp.mean(sigmas, axis=axis))

@@ -1,0 +1,246 @@
+"""On-device post-processing: morphology, median filtering, connected
+components.
+
+Replaces the host scipy/skimage kernels of `utils/Evaluation.py`:
+  * `apply_brainmask` (`Evaluation.py:84-89`): per-slice 2-D binary erosion
+    (cross structuring element, 12 iterations) then residual masking.
+  * `apply_3d_median_filter` (`Evaluation.py:108-110`): 5^3 median with
+    scipy's default 'reflect' border mode.
+  * `filter_3d_connected_components` (`Evaluation.py:113-127`):
+    26-connected 3-D labeling, components with <= 7 voxels removed.
+  * `compute_detection_rate` (`Evaluation.py:130-172`): per-20-slice-chunk
+    component matching with a < 8 voxel filter.
+
+Connected components use iterative min-label propagation (3^3 min-pool over
+a flat-index seed), which is XLA-friendly: each sweep is one
+`reduce_window`; a `while_loop` runs until a fixpoint.  Lesion-scale
+components converge in O(component diameter) sweeps.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+_INF = jnp.int32(2 ** 30)
+
+
+# ---------------------------------------------------------------------------
+# binary erosion (2-D cross, per slice)
+
+
+def binary_erosion_2d(mask: Array, iterations: int = 12) -> Array:
+    """scipy ``binary_erosion(structure=cross, iterations=n)`` parity with
+    border_value=0.  mask: (..., H, W) bool/float -> bool."""
+    m = mask.astype(bool)
+
+    def erode_once(m: Array) -> Array:
+        p = jnp.pad(m, [(0, 0)] * (m.ndim - 2) + [(1, 1), (1, 1)])
+        c = p[..., 1:-1, 1:-1]
+        up = p[..., :-2, 1:-1]
+        down = p[..., 2:, 1:-1]
+        left = p[..., 1:-1, :-2]
+        right = p[..., 1:-1, 2:]
+        return c & up & down & left & right
+
+    return jax.lax.fori_loop(
+        0, iterations, lambda _, m: erode_once(m), m)
+
+
+def apply_brainmask(x: Array, brainmask: Array, erode: bool = True,
+                    iterations: int = 12) -> Array:
+    """Residual masking by (optionally eroded) brainmask
+    (`Evaluation.py:84-89`).  x, brainmask: (..., H, W)."""
+    m = brainmask.astype(bool)
+    if erode:
+        m = binary_erosion_2d(m, iterations)
+    return x * m.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# 3-D median filter
+
+
+def _reflect_pad(vol: Array, r: int) -> Array:
+    return jnp.pad(vol, r, mode="symmetric")  # scipy 'reflect' == numpy 'symmetric'
+
+
+def median_filter_3d(vol: Array, kernel: int = 5, chunk: int = 16) -> Array:
+    """Exact k^3 median with 'reflect' borders, chunked over the leading
+    axis to bound memory (k^3 stacked views per chunk).
+
+    vol: (S, H, W) float32.
+    """
+    assert kernel % 2 == 1
+    r = kernel // 2
+    S, H, W = vol.shape
+    padded = _reflect_pad(vol, r)
+
+    # pad S up to a chunk multiple for static shapes
+    n_chunks = -(-S // chunk)
+    S_pad = n_chunks * chunk
+    if S_pad != S:
+        padded = jnp.pad(padded, ((0, S_pad - S), (0, 0), (0, 0)),
+                         mode="edge")
+
+    def do_chunk(c: Array) -> Array:
+        start = c * chunk
+        slab = jax.lax.dynamic_slice(
+            padded, (start, 0, 0), (chunk + 2 * r, H + 2 * r, W + 2 * r))
+        views = [
+            jax.lax.dynamic_slice(slab, (i, j, k), (chunk, H, W))
+            for i in range(kernel)
+            for j in range(kernel)
+            for k in range(kernel)
+        ]
+        stack = jnp.stack(views, axis=0)
+        return jnp.median(stack, axis=0)
+
+    out = jax.lax.map(do_chunk, jnp.arange(n_chunks))
+    return out.reshape(S_pad, H, W)[:S]
+
+
+# ---------------------------------------------------------------------------
+# connected components (26-connectivity)
+
+
+def _min_pool_3x3x3(labels: Array) -> Array:
+    return -jax.lax.reduce_window(
+        -labels, -_INF, jax.lax.max,
+        window_dimensions=(3, 3, 3), window_strides=(1, 1, 1),
+        padding=[(1, 1)] * 3)
+
+
+def connected_components_3d(mask: Array, max_iters: int = 1024) -> Array:
+    """26-connected labeling via min-label propagation.
+
+    Returns int32 labels: 0 = background, else 1 + flat index of the
+    component's minimal voxel (a stable, order-independent component id).
+    """
+    mask = mask.astype(bool)
+    n = mask.size
+    seed = (jnp.arange(n, dtype=jnp.int32).reshape(mask.shape) + 1)
+    labels = jnp.where(mask, seed, _INF)
+
+    def cond(state):
+        labels, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        labels, _, it = state
+        neigh = _min_pool_3x3x3(labels)
+        new = jnp.where(mask, jnp.minimum(labels, neigh), _INF)
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels, jnp.bool_(True), jnp.int32(0)))
+    return jnp.where(mask, labels, 0).astype(jnp.int32)
+
+
+def component_sizes(labels: Array) -> Array:
+    """sizes[l] = voxel count of label l (index 0 = background), shape
+    (n_voxels + 1,) to cover any label id."""
+    flat = labels.ravel()
+    sizes = jnp.zeros((labels.size + 1,), jnp.int32)
+    return sizes.at[flat].add((flat > 0).astype(jnp.int32))
+
+
+def num_components(labels: Array) -> Array:
+    """Number of distinct components: count of root voxels whose label
+    equals their own seed id."""
+    seed = (jnp.arange(labels.size, dtype=jnp.int32)
+            .reshape(labels.shape) + 1)
+    return jnp.sum((labels == seed) & (labels > 0))
+
+
+def filter_small_components(mask: Array, min_size: int = 7,
+                            max_iters: int = 1024) -> Array:
+    """Remove 26-connected components with filled_area <= min_size
+    (`Evaluation.py:113-127`).  mask: (S, H, W) -> float32 0/1."""
+    m = mask.astype(bool)
+    labels = connected_components_3d(m, max_iters)
+    sizes = component_sizes(labels)
+    keep = sizes[labels] > min_size
+    return (m & keep).astype(jnp.float32)
+
+
+def _labels_hit(labels: Array, hit_mask: Array) -> Array:
+    """Number of distinct non-zero labels present under hit_mask."""
+    flat = jnp.where(hit_mask.ravel(), labels.ravel(), 0)
+    table = jnp.zeros((labels.size + 1,), jnp.int32)
+    table = table.at[flat].set(1)
+    return jnp.sum(table) - table[0]
+
+
+def detection_counts_chunk(pred: Array, gt: Array,
+                           max_iters: int = 512
+                           ) -> Tuple[Array, Array, Array]:
+    """(TPs, FPs, FNs) for one slice chunk, parity with
+    `Evaluation.py:130-172`:
+      * TP  = number of components of pred AND gt,
+      * pred components with < 8 voxels are dropped before FP counting,
+      * FP  = pred components not touched by any intersection component,
+      * FN  = gt components not touched by any intersection component.
+    """
+    pred = pred.astype(bool)
+    gt = gt.astype(bool)
+    inter = pred & gt
+    cc_inter = connected_components_3d(inter, max_iters)
+    tps = num_components(cc_inter)
+
+    cc_pred = connected_components_3d(pred, max_iters)
+    sizes = component_sizes(cc_pred)
+    cc_pred = jnp.where(sizes[cc_pred] >= 8, cc_pred, 0)
+    n_pred = _labels_hit(cc_pred, cc_pred > 0)
+    pred_hit = _labels_hit(cc_pred, inter)
+    fps = n_pred - pred_hit
+
+    cc_gt = connected_components_3d(gt, max_iters)
+    n_gt = num_components(cc_gt)
+    gt_hit = _labels_hit(cc_gt, inter)
+    fns = n_gt - gt_hit
+    return tps, fps, fns
+
+
+def compute_detection_rate(pred_volume: Array, gt_volume: Array,
+                           chunk: int = 20) -> Tuple[Array, Array, Array]:
+    """Lesion-detection TP/FP/FN over per-20-slice chunks
+    (`Evaluation.py:130-172`)."""
+    S = pred_volume.shape[0]
+    tps = fps = fns = jnp.int32(0)
+    for s0 in range(0, S, chunk):
+        s1 = min(s0 + chunk, S)
+        t, f, n = detection_counts_chunk(
+            pred_volume[s0:s1], gt_volume[s0:s1])
+        tps, fps, fns = tps + t, fps + f, fns + n
+    return tps, fps, fns
+
+
+# ---------------------------------------------------------------------------
+# misc eval ops
+
+
+def squash_intensities(img: Array) -> Array:
+    """Logistic squash for heatmaps (`Evaluation.py:70-74`)."""
+    k, offset = 100.0, 0.5
+    return 2.0 * ((1.0 / (1.0 + jnp.exp(-k * img))) - offset)
+
+
+def positive_residual(x: Array, x_rec: Array,
+                      keep_only_positive: bool = True) -> Array:
+    """max(x - x_rec, 0) or |x - x_rec| (`Evaluation.py:283-287`)."""
+    if keep_only_positive:
+        return jnp.maximum(x - x_rec, 0.0)
+    return jnp.abs(x - x_rec)
+
+
+def hyperintensity_prior_mask(diff: Array, x: Array, quantile_value: Array
+                              ) -> Array:
+    """Zero residuals where the input is below the hyperintensity prior
+    quantile (`Evaluation.py:288-289`)."""
+    return jnp.where(x < quantile_value, 0.0, diff)
