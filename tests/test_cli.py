@@ -1,0 +1,40 @@
+"""CLI workflow tests (`run.py` parity, SURVEY.md section 3.3)."""
+
+import os
+import tempfile
+
+import pytest
+
+from unsupervised_anomaly_detection_brain_mri_tpu.cli import main, make_parser
+
+
+def test_parser_reference_flags():
+    """Every reference `run.py:122-150` flag parses."""
+    args = make_parser().parse_args([
+        "-b", "16", "-l", "0.001", "-E", "5", "-z", "64", "-w", "64",
+        "-g", "64", "-o", "ADAM", "-i", "16,16", "-s", "10", "-e", "100",
+        "-t", "VAE", "-m", "variational_autoencoder", "-O", "0.3",
+        "-d", "MSISBI2015", "-n", "4", "-G", "0.1", "-K", "2.0",
+        "-M", "5.0", "-R", "0.5", "-C", "6", "-Z", "32", "-W", "2",
+        "-A", "1.5", "-L", "0.01", "-S", "10", "-T", "1.8"])
+    assert args.batchsize == 16 and args.trainer == "VAE"
+    assert args.intermediateResolutions == "16,16"
+    assert args.threshold == 0.3 and args.ds == "MSISBI2015"
+
+
+def test_cli_synthetic_fixed_threshold(tmp_path):
+    """Full train->eval flow at a fixed threshold (fast path)."""
+    rc = main(["--synthetic", "-t", "AE", "-m", "autoencoder", "-b", "8",
+               "-E", "1", "-z", "16", "-w", "32", "-g", "32", "-s", "0",
+               "-e", "8", "-O", "0.5", "--precision", "float32",
+               "--workdir", str(tmp_path / "work")])
+    assert rc == 0
+    assert os.path.isdir(tmp_path / "work" / "ckpt")
+
+
+def test_preset_flag(tmp_path):
+    rc = main(["--synthetic", "--preset", "AE_spatial", "-b", "8",
+               "-E", "1", "-z", "16", "-w", "32", "-g", "32", "-s", "0",
+               "-e", "8", "-O", "0.5", "--precision", "float32",
+               "--workdir", str(tmp_path / "work")])
+    assert rc == 0

@@ -1,0 +1,282 @@
+"""Command-line interface — reference `run.py` parity.
+
+Same flags as `run.py:122-150` (short and long forms), same workflow
+(`run.py:18-92`): train the selected (trainer, model) pair on healthy
+BrainWeb data, then either
+  * evaluate at a fixed ``--threshold`` on ``--ds``,
+  * best-dice ("upper bound") evaluation per dataset, or
+  * the threshold-transfer protocol: fit the threshold on the BrainWeb VAL
+    lesion split and re-evaluate every dataset at that operating point.
+
+Additions over the reference: ``--synthetic`` (hermetic procedural phantom
+run — no downloads needed), ``--mesh-data`` (data-parallel device count),
+``--precision``, and a fixed `run.py:67-90` crash (the reference referenced
+the nonexistent ``Dataset.Brainweb`` enum member on its full-eval path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List, Optional, Tuple
+
+from unsupervised_anomaly_detection_brain_mri_tpu.config import (
+    Config,
+    DATASET_PARTITIONS,
+    Dataset,
+    Optimizer,
+    Options,
+    PathConfig,
+)
+
+
+def build_dataset(options: Options, config: Config, dataset: Dataset,
+                  split_role: str):
+    """get_datasets parity (`utils/default_config_setup.py:60-72`):
+    'healthy' -> training cohort; 'pathological' -> lesion eval cohort."""
+    res = (config.outputHeight, config.outputWidth)
+    common = dict(
+        sliceStart=options.sliceStart, sliceEnd=options.sliceEnd,
+        sliceResolution=res, cache=options.cache,
+        normalizationMethod=options.normalizationMethod)
+    if dataset == Dataset.SYNTH:
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.synthetic import (
+            SYNTH,
+            SyntheticOptions,
+        )
+
+        if split_role == "healthy":
+            return SYNTH(SyntheticOptions(
+                numPatients=8, imageSize=config.outputWidth,
+                numSlices=max(options.sliceEnd - options.sliceStart, 8),
+                targetSize=config.outputWidth,
+                partition={"TRAIN": 0.7, "VAL": 0.3, "TEST": 0.0}))
+        return SYNTH(SyntheticOptions(
+            numPatients=6, imageSize=config.outputWidth,
+            numSlices=max(options.sliceEnd - options.sliceStart, 8),
+            targetSize=config.outputWidth, withLesions=True, seed=99,
+            partition={"TRAIN": 0.0, "VAL": 0.5, "TEST": 0.5}))
+    if dataset == Dataset.BRAINWEB:
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.brainweb import (
+            BRAINWEB,
+            BrainwebOptions,
+        )
+
+        if split_role == "healthy":
+            return BRAINWEB(BrainwebOptions(
+                dir=options.paths.brainweb_dir,
+                partition={"TRAIN": 0.7, "VAL": 0.3, "TEST": 0.0},
+                filterType=("NORMAL",), skullRemoval=True,
+                backgroundRemoval=options.backgroundRemoval, **common))
+        return BRAINWEB(BrainwebOptions(
+            dir=options.paths.brainweb_dir,
+            partition={"TRAIN": 0.0, "VAL": 0.3, "TEST": 0.7},
+            filterType=("SEVEREMS",), skullRemoval=True, **common))
+    if dataset == Dataset.MSLUB:
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.ms_datasets import (
+            MSLUB,
+            MSOptions,
+        )
+
+        return MSLUB(MSOptions(
+            dir=options.paths.mslub_dir,
+            partition=DATASET_PARTITIONS[Dataset.MSLUB],
+            filterProtocol=("FLAIR",), **common))
+    if dataset == Dataset.MSISBI2015:
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.ms_datasets import (
+            MSISBI2015,
+            MSOptions,
+        )
+
+        return MSISBI2015(MSOptions(
+            dir=options.paths.msisbi2015_dir,
+            partition=DATASET_PARTITIONS[Dataset.MSISBI2015],
+            filterProtocol=("FLAIR",), **common))
+    if dataset == Dataset.MSSEG2008:
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.ms_datasets import (
+            MSSEG2008,
+            MSSEG2008Options,
+        )
+
+        return MSSEG2008(MSSEG2008Options(
+            dir=options.paths.msseg2008_dir,
+            partition=DATASET_PARTITIONS[Dataset.MSSEG2008],
+            filterProtocol=("FLAIR",), **common))
+    raise ValueError(f"unknown dataset {dataset}")
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Framework")
+    p.add_argument("-c", "--config", default=None, type=str,
+                   help="config-path (JSON path roots)")
+    p.add_argument("-b", "--batchsize", default=8, type=int)
+    p.add_argument("-l", "--lr", default=0.0001, type=float)
+    p.add_argument("-E", "--numEpochs", default=1000, type=int)
+    p.add_argument("-z", "--zDim", default=128, type=int)
+    p.add_argument("-w", "--outputWidth", default=128, type=int)
+    p.add_argument("-g", "--outputHeight", default=128, type=int)
+    p.add_argument("-o", "--optimizer", default="ADAM", type=str)
+    p.add_argument("-i", "--intermediateResolutions", default="8,8",
+                   type=str, help="Spatial bottleneck resolution, e.g. 8,8")
+    p.add_argument("-s", "--slices_start", default=20, type=int)
+    p.add_argument("-e", "--slices_end", default=130, type=int)
+    p.add_argument("-t", "--trainer", default="AE", type=str)
+    p.add_argument("-m", "--model", default="autoencoder", type=str)
+    p.add_argument("-O", "--threshold", default=None, type=float)
+    p.add_argument("-d", "--ds", default=None, type=str,
+                   help="Only evaluate on the given dataset")
+    # per-architecture extras
+    p.add_argument("-n", "--numMonteCarloSamples", default=0, type=int)
+    p.add_argument("-G", "--use_gradient_based_restoration", default=0.0,
+                   type=float)
+    p.add_argument("-K", "--kappa", default=1.0, type=float)
+    p.add_argument("-M", "--scale", default=10.0, type=float)
+    p.add_argument("-R", "--rho", default=1.0, type=float)
+    p.add_argument("-C", "--dim_c", default=9, type=int)
+    p.add_argument("-Z", "--dim_z", default=128, type=int)
+    p.add_argument("-W", "--dim_w", default=1, type=int)
+    p.add_argument("-A", "--c_lambda", default=1.0, type=float)
+    p.add_argument("-L", "--restore_lr", default=1e-3, type=float)
+    p.add_argument("-S", "--restore_steps", default=150, type=int)
+    p.add_argument("-T", "--tv_lambda", default=-1.0, type=float)
+    # TPU-native additions
+    p.add_argument("--synthetic", action="store_true",
+                   help="hermetic run on the procedural phantom dataset")
+    p.add_argument("--mesh-data", default=None, type=int,
+                   help="data-parallel device count (default: all)")
+    p.add_argument("--precision", default="bfloat16",
+                   choices=("bfloat16", "float32"))
+    p.add_argument("--preset", default=None, type=str,
+                   help="experiment preset name (mains/ parity)")
+    p.add_argument("--workdir", default=None, type=str)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    from unsupervised_anomaly_detection_brain_mri_tpu.config import (
+        MeshConfig,
+        preset,
+    )
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval import (
+        determine_threshold_on_labeled_patients,
+        evaluate,
+    )
+    from unsupervised_anomaly_detection_brain_mri_tpu.parallel.mesh import (
+        make_mesh,
+    )
+    from unsupervised_anomaly_detection_brain_mri_tpu.train import get_trainer
+
+    args = make_parser().parse_args(argv)
+
+    paths = (PathConfig.from_json(args.config) if args.config
+             else PathConfig())
+    inter = tuple(int(v) for v in str(
+        args.intermediateResolutions).split(","))
+
+    overrides = dict(
+        trainer=args.trainer, model=args.model,
+        batchsize=args.batchsize, learningrate=args.lr,
+        numEpochs=args.numEpochs, zDim=args.zDim,
+        outputWidth=args.outputWidth, outputHeight=args.outputHeight,
+        optimizer=Optimizer(args.optimizer),
+        intermediateResolutions=inter,
+        compute_dtype=args.precision,
+        kappa=args.kappa, scale=args.scale, rho=args.rho,
+        dim_c=args.dim_c, dim_z=args.dim_z, dim_w=args.dim_w,
+        c_lambda=args.c_lambda, restore_lr=args.restore_lr,
+        restore_steps=args.restore_steps, tv_lambda=args.tv_lambda,
+        use_gradient_based_restoration=args.use_gradient_based_restoration,
+        mesh=MeshConfig(data=args.mesh_data),
+    )
+    if args.preset:
+        # preset values win over UNSPECIFIED CLI flags (the reference mains
+        # hardcoded their hyperparameters); explicitly-passed flags win
+        defaults = vars(make_parser().parse_args([]))
+        passed = {k for k, v in vars(args).items()
+                  if defaults.get(k) != v}
+        flag_to_field = {"lr": "learningrate",
+                         "intermediateResolutions": "intermediateResolutions",
+                         "precision": "compute_dtype",
+                         "mesh_data": "mesh"}
+        keep = set()
+        for flag in passed:
+            keep.add(flag_to_field.get(flag, flag))
+        config = preset(args.preset)
+        config = config.replace(
+            **{k: v for k, v in overrides.items() if k in keep})
+        # non-architecture flags always apply
+        config = config.replace(compute_dtype=args.precision,
+                                mesh=MeshConfig(data=args.mesh_data))
+    else:
+        config = Config().replace(**overrides)
+    options = Options(paths=paths, sliceStart=args.slices_start,
+                      sliceEnd=args.slices_end,
+                      numMonteCarloSamples=args.numMonteCarloSamples,
+                      threshold=args.threshold,
+                      # reference used 12 erosion iterations at 128x128
+                      # (`utils/Evaluation.py:87`); scale with resolution so
+                      # small smoke-run images keep a usable brain area
+                      erosionIterations=max(
+                          1, (12 * args.outputWidth) // 128))
+
+    train_ds_kind = Dataset.SYNTH if args.synthetic else Dataset.BRAINWEB
+    dataset_hc = build_dataset(options, config, train_ds_kind, "healthy")
+
+    mesh = make_mesh(config.mesh) if args.mesh_data else None
+    workdir = args.workdir or os.path.join(
+        paths.checkpoint_dir, config.model,
+        config.model_dir(train_ds_kind.value))
+    os.makedirs(workdir, exist_ok=True)
+    trainer = get_trainer(config.trainer)(
+        config, options, mesh=mesh, workdir=workdir)
+    state = trainer.fit(dataset_hc)
+
+    def eval_ds(kind: Dataset):
+        return build_dataset(options, config, kind, "pathological")
+
+    eval_kinds: List[Dataset]
+    if args.synthetic:
+        eval_kinds = [Dataset.SYNTH]
+    elif args.ds:
+        eval_kinds = [Dataset(args.ds)]
+    else:
+        eval_kinds = [Dataset.BRAINWEB, Dataset.MSLUB, Dataset.MSISBI2015]
+
+    if args.threshold is not None:
+        for kind in eval_kinds:
+            evaluate(eval_ds(kind), trainer, state,
+                     options.replace(threshold=args.threshold,
+                                     applyHyperIntensityPrior=False),
+                     config, epoch=config.numEpochs,
+                     description=f"{kind.value}-thresh_{args.threshold}")
+        return 0
+
+    # best-dice upper bound, with and without the hyperintensity prior
+    for prior in (False, True):
+        for kind in eval_kinds:
+            evaluate(eval_ds(kind), trainer, state,
+                     options.replace(threshold=None,
+                                     applyHyperIntensityPrior=prior),
+                     config, epoch=config.numEpochs,
+                     description=f"{kind.value}_upperbound"
+                                 + ("_wPrior" if prior else ""))
+
+    # threshold transfer from the first eval cohort's VAL split
+    val_ds = eval_ds(eval_kinds[0])
+    best_dice, thresh = determine_threshold_on_labeled_patients(
+        [val_ds], trainer, state,
+        options.replace(applyHyperIntensityPrior=False), config)
+    print(f"Optimal threshold on MS Lesion Validation Set without optimal "
+          f"postprocessing: {thresh} (Dice-Score {best_dice})")
+    for kind in eval_kinds:
+        evaluate(eval_ds(kind), trainer, state,
+                 options.replace(threshold=thresh,
+                                 applyHyperIntensityPrior=False),
+                 config, epoch=config.numEpochs,
+                 description=f"{kind.value}-VALthresh_{thresh:.5f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

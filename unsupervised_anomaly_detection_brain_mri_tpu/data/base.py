@@ -1,0 +1,402 @@
+"""Dataset base: patient discovery, split persistence, slice cache, batching.
+
+Re-designs the per-dataset copy-pasted machinery of the reference
+`dataloaders/{BRAINWEB,MSLUB,MSISBI2015,MSSEG2008}.py` into one base class
+with per-dataset hooks.  Parity points:
+
+  * patient-level split, persisted by NAME so reruns keep the same split
+    (`dataloaders/BRAINWEB.py:86-108,480-493`); persisted as JSON (the
+    reference's "OS-agnostic" pickle format, made human-readable).
+  * options-derived cache key (`BRAINWEB.py:358-388`); cache payload is a
+    compressed .npz of (images, labels, sets) — the TFRecord/pickle pair of
+    the reference collapsed into one artifact.
+  * slice gathering: slice range, emptiness filter, resize-or-pad,
+    rotations, random/center/lesion crops (`BRAINWEB.py:125-194`,
+    `MSISBI2015.py:140-226`).
+  * `next_batch(batchsize, shuffle, set, return_brainmask)` /
+    `num_batches` reference API (`BRAINWEB.py:406-478`) plus the pool API
+    (`slices`/`labels`/`brainmasks`) consumed by the jitted epoch engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy import ndimage as ndi
+from scipy.ndimage import rotate
+
+from unsupervised_anomaly_detection_brain_mri_tpu.data.preprocess import (
+    crop,
+    crop_center,
+    resize_slice,
+)
+from unsupervised_anomaly_detection_brain_mri_tpu.data.volume import NII
+
+SET_TYPES = ("TRAIN", "VAL", "TEST")
+
+
+@dataclasses.dataclass
+class BaseOptions:
+    dir: str = "."
+    numSamples: int = -1
+    partition: Dict[str, float] = dataclasses.field(
+        default_factory=lambda: {"TRAIN": 0.7, "VAL": 0.2, "TEST": 0.1})
+    useCrops: bool = False
+    cropType: str = "random"  # random | center | lesions
+    numRandomCropsPerSlice: int = 5
+    onlyPatchesWithLesions: bool = False
+    rotations: Sequence[int] = (0,)
+    cropWidth: int = 128
+    cropHeight: int = 128
+    cache: bool = True
+    cacheDir: Optional[str] = None
+    sliceResolution: Optional[Tuple[int, int]] = None
+    addInstanceNoise: bool = False
+    filterProtocol: Optional[Sequence[str]] = None
+    filterType: Optional[Sequence[str]] = None
+    axis: str = "axial"
+    debug: bool = False
+    normalizationMethod: str = "scaling"
+    skullRemoval: bool = True
+    backgroundRemoval: bool = False
+    skullStripping: bool = True
+    sliceStart: int = 20
+    sliceEnd: int = 130
+    format: str = "raw"
+    seed: int = 42
+
+
+class BaseDataset:
+    """Shared dataset machinery; subclasses implement discovery + volume
+    loading."""
+
+    name = "base"
+    options_cls = BaseOptions
+
+    def __init__(self, options: BaseOptions):
+        self.options = options
+        self.patients: List[Dict[str, Any]] = self._get_patients()
+        if not self.patients:
+            raise FileNotFoundError(
+                f"{self.name}: no patients found under {options.dir}")
+        self.patients_split = self._load_or_create_split()
+        self._load_or_build_slices()
+        self._epochs_completed = {s: 0 for s in SET_TYPES}
+        self._index_in_epoch = {s: 0 for s in SET_TYPES}
+        self._rng = np.random.default_rng(options.seed)
+
+    # ------------------------------------------------------------------
+    # hooks
+
+    def _get_patients(self) -> List[Dict[str, Any]]:
+        raise NotImplementedError
+
+    def load_volumes(self, patient: Dict[str, Any]
+                     ) -> Tuple[NII, NII, NII]:
+        """(volume, groundtruth, skullmap) as NII objects, normalized."""
+        raise NotImplementedError
+
+    def keep_slice(self, slice_data: np.ndarray) -> bool:
+        """Slice emptiness filter; BRAINWEB skips all-black slices
+        (`BRAINWEB.py:131`), MS sets use a percentile rule."""
+        return np.unique(slice_data).size > 1
+
+    def resize_mode(self) -> str:
+        """'downsample_or_pad' (BRAINWEB) or 'pad_then_zoom' (MS sets)."""
+        return "downsample_or_pad"
+
+    def brainmask_from(self, images: np.ndarray, labels: np.ndarray
+                       ) -> np.ndarray:
+        """Per-slice brainmask for context-encoder training; MS loaders use
+        ``images > 0.05`` (`MSLUB.py:476-479`)."""
+        return (images[..., 0] > 0.05).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    # split persistence
+
+    def split_path(self) -> str:
+        """Split file keyed by the PATIENT SET identity (names), so the same
+        cohort always reuses its split (reference behaviour,
+        `BRAINWEB.py:74-76`) while different filterType/protocol cohorts get
+        their own."""
+        root = self.options.cacheDir or self.options.dir
+        ident = hashlib.sha1("|".join(
+            sorted(p["name"] for p in self.patients)).encode()
+        ).hexdigest()[:10]
+        return os.path.join(root, f"{self.name}_split_{ident}.json")
+
+    def _load_or_create_split(self) -> Dict[str, List[str]]:
+        path = self.split_path()
+        if os.path.isfile(path):
+            with open(path) as f:
+                return json.load(f)
+        rng = np.random.default_rng(self.options.seed)
+        names = [p["name"] for p in self.patients]
+        order = rng.permutation(len(names))
+        split: Dict[str, List[str]] = {}
+        taken = 0
+        for s in SET_TYPES:
+            frac = self.options.partition.get(s, 0)
+            n = int(round(frac * len(names))) if frac <= 1.0 else int(frac)
+            split[s] = [names[i] for i in order[taken: taken + n]]
+            taken += n
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(split, f, indent=2)
+        return split
+
+    def get_patient_idx(self, split: str = "TRAIN") -> List[int]:
+        return [i for i, p in enumerate(self.patients)
+                if p["name"] in self.patients_split[split]]
+
+    def patients_of(self, split: str) -> List[Dict[str, Any]]:
+        return [self.patients[i] for i in self.get_patient_idx(split)]
+
+    def get_patient_split(self) -> Dict[str, List[str]]:
+        return self.patients_split
+
+    # ------------------------------------------------------------------
+    # cache
+
+    def cache_key(self) -> str:
+        o = self.options
+        raw = json.dumps({
+            "name": self.name, "partition": o.partition,
+            "useCrops": o.useCrops, "cropType": o.cropType,
+            "res": o.sliceResolution, "skull": o.skullRemoval,
+            "strip": o.skullStripping, "bg": o.backgroundRemoval,
+            "norm": o.normalizationMethod, "axis": o.axis,
+            "slices": [o.sliceStart, o.sliceEnd],
+            "rot": list(o.rotations), "proto": list(o.filterProtocol or []),
+            "type": list(o.filterType or []), "fmt": o.format,
+            "n": o.numSamples,
+        }, sort_keys=True)
+        return hashlib.sha1(raw.encode()).hexdigest()[:16]
+
+    def cache_path(self) -> str:
+        root = self.options.cacheDir or self.options.dir
+        return os.path.join(root, f"{self.name}_{self.cache_key()}.npz")
+
+    # ------------------------------------------------------------------
+    # slice gathering
+
+    def _resize(self, slice_data: np.ndarray, slice_seg: np.ndarray
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        res = self.options.sliceResolution
+        if res is None:
+            return slice_data, slice_seg
+        if self.resize_mode() == "downsample_or_pad":
+            # BRAINWEB: cv2 resize if too big, else centered zero-pad
+            # (`BRAINWEB.py:139-154`)
+            if (slice_data.shape[0] > res[0]
+                    or slice_data.shape[1] > res[1]):
+                slice_data = resize_slice(slice_data, res)
+                slice_seg = resize_slice(slice_seg, res, nearest=True)
+            else:
+                tmp = np.zeros(res, np.float32)
+                tmps = np.zeros(res, np.float32)
+                sy = (res[0] - slice_data.shape[0]) // 2
+                sx = (res[1] - slice_data.shape[1]) // 2
+                tmp[sy: sy + slice_data.shape[0],
+                    sx: sx + slice_data.shape[1]] = slice_data
+                tmps[sy: sy + slice_seg.shape[0],
+                     sx: sx + slice_seg.shape[1]] = slice_seg
+                slice_data, slice_seg = tmp, tmps
+        else:
+            # MS sets: zero-pad up, then scipy zoom, then re-binarize seg
+            # (`MSISBI2015.py:159-177`)
+            h, w = slice_data.shape
+            if h < res[0] or w < res[1]:
+                by = max((res[0] - h) // 2, 0)
+                ay = max(res[0] - h - by, 0)
+                bx = max((res[1] - w) // 2, 0)
+                ax = max(res[1] - w - bx, 0)
+                slice_data = np.pad(slice_data, ((by, ay), (bx, ax)))
+                slice_seg = np.pad(slice_seg, ((by, ay), (bx, ax)))
+            zf = float(res[0]) / float(slice_data.shape[0])
+            if zf != 1.0:
+                slice_data = ndi.zoom(slice_data, zf)
+                slice_seg = ndi.zoom(slice_seg, zf, mode="nearest")
+            slice_seg = np.where(slice_seg < 0.9, 0.0, 1.0)
+        return slice_data.astype(np.float32), slice_seg.astype(np.float32)
+
+    def _gather_patient(self, patient: Dict[str, Any]
+                        ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+        o = self.options
+        vol, seg, _ = self.load_volumes(patient)
+        images, labels = [], []
+        s_end = min(o.sliceEnd, vol.num_slices_along_axis(o.axis))
+        for s in range(o.sliceStart, s_end):
+            slice_data = np.asarray(vol.get_slice(s, o.axis), np.float32)
+            slice_seg = np.asarray(seg.get_slice(s, o.axis), np.float32)
+            if not self.keep_slice(slice_data):
+                continue
+            slice_data, slice_seg = self._resize(slice_data, slice_seg)
+
+            for angle in o.rotations:
+                if angle:
+                    sd = rotate(slice_data, angle, reshape=False)
+                    sg = rotate(slice_seg, angle, reshape=False,
+                                mode="nearest")
+                else:
+                    sd, sg = slice_data, slice_seg
+                if o.useCrops:
+                    images_l, labels_l = self._crops(sd, sg)
+                    images.extend(images_l)
+                    labels.extend(labels_l)
+                else:
+                    images.append(sd)
+                    labels.append(sg)
+        return images, labels
+
+    def _crops(self, sd: np.ndarray, sg: np.ndarray):
+        o = self.options
+        images, labels = [], []
+        if o.cropType == "random":
+            rx = self._crop_rng.integers(
+                0, max(sd.shape[1] - o.cropWidth, 1),
+                size=o.numRandomCropsPerSlice)
+            ry = self._crop_rng.integers(
+                0, max(sd.shape[0] - o.cropHeight, 1),
+                size=o.numRandomCropsPerSlice)
+            for r in range(o.numRandomCropsPerSlice):
+                images.append(crop(sd, ry[r], rx[r], o.cropHeight,
+                                   o.cropWidth))
+                # deliberate fix of `BRAINWEB.py:172`: the reference
+                # appended the IMAGE crop as the label
+                labels.append(crop(sg, ry[r], rx[r], o.cropHeight,
+                                   o.cropWidth))
+        elif o.cropType == "center":
+            images.append(crop_center(sd, o.cropWidth, o.cropHeight))
+            labels.append(crop_center(sg, o.cropWidth, o.cropHeight))
+        elif o.cropType == "lesions":
+            # connected-component-centred crops (`MSISBI2015.py:194-216`)
+            lab, n = ndi.label(sg > 0)
+            for i in range(1, n + 1):
+                ys, xs = np.where(lab == i)
+                cy = int(np.clip(ys.mean(), o.cropHeight // 2,
+                                 sd.shape[0] - o.cropHeight // 2))
+                cx = int(np.clip(xs.mean(), o.cropWidth // 2,
+                                 sd.shape[1] - o.cropWidth // 2))
+                ic = crop(sd, cy - o.cropHeight // 2, cx - o.cropWidth // 2,
+                          o.cropHeight, o.cropWidth)
+                sc = crop(sg, cy - o.cropHeight // 2, cx - o.cropWidth // 2,
+                          o.cropHeight, o.cropWidth)
+                if ic.shape == (o.cropHeight, o.cropWidth):
+                    images.append(ic)
+                    labels.append(sc)
+        else:
+            raise ValueError(f"unknown cropType {o.cropType!r}")
+        return images, labels
+
+    def _load_or_build_slices(self) -> None:
+        o = self.options
+        path = self.cache_path()
+        if o.cache and os.path.isfile(path):
+            blob = np.load(path)
+            self._images = blob["images"]
+            self._labels = blob["labels"]
+            self._sets = blob["sets"]
+            return
+        self._crop_rng = np.random.default_rng(o.seed + 2)
+        images, labels, sets = [], [], []
+        for patient in self.patients:
+            split_idx = None
+            for i, s in enumerate(SET_TYPES):
+                if patient["name"] in self.patients_split[s]:
+                    split_idx = i
+                    break
+            if split_idx is None:
+                continue
+            imgs, labs = self._gather_patient(patient)
+            if 0 < o.numSamples < len(images) + len(imgs):
+                imgs = imgs[: max(o.numSamples - len(images), 0)]
+                labs = labs[: len(imgs)]
+            images.extend(imgs)
+            labels.extend(labs)
+            sets.extend([split_idx] * len(imgs))
+        self._images = (np.stack(images)[..., None].astype(np.float32)
+                        if images else np.zeros((0, 1, 1, 1), np.float32))
+        self._labels = (np.stack(labels).astype(np.float32)
+                        if labels else np.zeros((0, 1, 1), np.float32))
+        self._sets = np.asarray(sets, np.int32)
+        if o.cache:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            np.savez_compressed(path, images=self._images,
+                                labels=self._labels, sets=self._sets)
+
+    # ------------------------------------------------------------------
+    # pool API (jitted epoch engine)
+
+    def _split_indices(self, split: str) -> np.ndarray:
+        return np.where(self._sets == SET_TYPES.index(split))[0]
+
+    def slices(self, split: str) -> np.ndarray:
+        return self._images[self._split_indices(split)]
+
+    def labels(self, split: str) -> np.ndarray:
+        return self._labels[self._split_indices(split)]
+
+    def brainmasks(self, split: str) -> np.ndarray:
+        idx = self._split_indices(split)
+        return self.brainmask_from(self._images[idx], self._labels[idx])
+
+    # ------------------------------------------------------------------
+    # reference batching API (`BRAINWEB.py:406-478`)
+
+    def num_batches(self, batchsize: int, set: str = "TRAIN") -> int:
+        return len(self._split_indices(set)) // batchsize
+
+    def next_batch(self, batch_size: int, shuffle: bool = True,
+                   set: str = "TRAIN", return_brainmask: bool = False):
+        idx = self._split_indices(set)
+        n = len(idx)
+        start = self._index_in_epoch[set]
+        if start == 0 and shuffle:
+            self._order = {**getattr(self, "_order", {}),
+                           set: self._rng.permutation(n)}
+        order = getattr(self, "_order", {}).get(set, np.arange(n))
+        if start + batch_size > n:
+            self._epochs_completed[set] += 1
+            rest = idx[order[start:]]
+            if shuffle:
+                order = self._rng.permutation(n)
+                self._order[set] = order
+            new_start = batch_size - len(rest)
+            self._index_in_epoch[set] = new_start
+            sel = np.concatenate([rest, idx[order[:new_start]]])
+        else:
+            self._index_in_epoch[set] = start + batch_size
+            sel = idx[order[start: start + batch_size]]
+        images = self._images[sel].copy()
+        labels = self._labels[sel].copy()
+        if self.options.addInstanceNoise:
+            images += self._rng.normal(0, 0.01, images.shape)
+        assert images.size, "The batch is empty!"
+        if return_brainmask:
+            return images, labels, self.brainmask_from(images, labels)
+        return images, labels, None
+
+    # ------------------------------------------------------------------
+    # eval API (volume arrays, axial on last axis)
+
+    def load_volume_and_groundtruth(self, patient: Dict[str, Any]):
+        """(vol, gt, brainmask, skullmap) numpy arrays with axial slices on
+        axis 2, as consumed by eval/evaluate.py."""
+        vol, seg, skullmap = self.load_volumes(patient)
+
+        def to_axial_last(a: np.ndarray, mapping) -> np.ndarray:
+            return np.moveaxis(a, mapping[self.options.axis], 2)
+
+        v = to_axial_last(np.asarray(vol.data, np.float32),
+                          vol.view_mapping)
+        g = to_axial_last(np.asarray(seg.data, np.float32),
+                          seg.view_mapping)
+        sm = to_axial_last(np.asarray(skullmap.data, np.float32),
+                           skullmap.view_mapping)
+        return v, g, (sm > 0).astype(np.float32), sm

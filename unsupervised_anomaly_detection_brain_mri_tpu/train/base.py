@@ -240,6 +240,10 @@ class BaseTrainer:
 
         train_pool = self._pool_from_dataset(dataset, "TRAIN")
         val_pool = self._pool_from_dataset(dataset, "VAL")
+        if train_pool is None:
+            raise ValueError(
+                "training split is empty — check the dataset partition and "
+                "slice range (sliceStart/sliceEnd vs volume depth)")
         n_train = int(train_pool["x"].shape[0])
         best_cost, last_improvement = float("inf"), 0
 
