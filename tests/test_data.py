@@ -129,7 +129,8 @@ def test_brainweb_loader(tmp_path, rng):
 
     # split persisted + cache reused
     assert os.path.isfile(ds.split_path())
-    assert os.path.isfile(ds.cache_path())
+    assert (os.path.isfile(ds.cache_path())
+            or os.path.isfile(ds.cache_path().replace(".npz", ".uadc")))
     ds2 = BRAINWEB(opts)
     assert ds2.patients_split == ds.patients_split
     np.testing.assert_array_equal(ds2.slices("TRAIN"), x)

@@ -1,0 +1,100 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md 4(e))."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unsupervised_anomaly_detection_brain_mri_tpu.config import (
+    Config,
+    MeshConfig,
+)
+from unsupervised_anomaly_detection_brain_mri_tpu.parallel.mesh import (
+    MeshContext,
+    make_mesh,
+    pad_batch_to,
+)
+
+
+@pytest.fixture(scope="module")
+def ctx8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(MeshConfig(data=8, model=1), jax.devices()[:8])
+
+
+def test_mesh_construction(ctx8):
+    assert ctx8.n_data == 8 and ctx8.n_model == 1
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    xs = ctx8.shard_batch(x)
+    assert xs.sharding.spec[0] == "data"
+
+
+def test_pad_batch_to():
+    b = np.arange(10, dtype=np.float32)[:, None]
+    padded = pad_batch_to(b, 8)
+    assert padded.shape[0] == 16
+    np.testing.assert_array_equal(padded[10:], b[:6])
+
+
+def test_data_parallel_training_step_matches_single_device(ctx8):
+    """One AE train step on the 8-device mesh == single device (bitwise-ish)."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.train import get_trainer
+
+    cfg = Config(trainer="AE", model="autoencoder", batchsize=16,
+                 outputWidth=32, outputHeight=32, zDim=16,
+                 compute_dtype="float32")
+    x = np.random.default_rng(0).uniform(
+        0, 1, (16, 32, 32, 1)).astype(np.float32)
+    batch = {"x": jnp.asarray(x)}
+
+    tr1 = get_trainer("AE")(cfg)
+    s1 = tr1.init_state()
+    step1 = jax.jit(tr1._build_train_step())
+    s1, m1 = step1(s1, batch)
+
+    tr8 = get_trainer("AE")(cfg, mesh=ctx8)
+    s8 = tr8.init_state()
+    step8 = jax.jit(tr8._build_train_step())
+    s8, m8 = step8(s8, ctx8.shard_batch({"x": jnp.asarray(x)}))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5)
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p8 = jax.tree_util.tree_leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
+
+
+def test_sharded_median_filter_matches_single_device(ctx8, rng):
+    from unsupervised_anomaly_detection_brain_mri_tpu.ops.postprocess import (
+        median_filter_3d,
+    )
+    from unsupervised_anomaly_detection_brain_mri_tpu.parallel.distributed_eval import (
+        sharded_median_filter_3d,
+    )
+
+    vol = rng.uniform(size=(32, 24, 24)).astype(np.float32)
+    expected = np.asarray(median_filter_3d(jnp.asarray(vol)))
+    got = np.asarray(sharded_median_filter_3d(ctx8, jnp.asarray(vol)))
+    np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+def test_collective_helpers(ctx8):
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from unsupervised_anomaly_detection_brain_mri_tpu.parallel import (
+        collectives,
+    )
+
+    @partial(shard_map, mesh=ctx8.mesh, in_specs=P("data"),
+             out_specs=P("data"))
+    def f(x):
+        m = collectives.psum_mean(jnp.sum(x))
+        return x * 0 + m
+
+    x = jnp.arange(8.0)
+    out = f(x)
+    np.testing.assert_allclose(np.asarray(out), np.full(8, np.mean(
+        np.arange(8.0))), rtol=1e-6)

@@ -297,6 +297,18 @@ class BaseDataset:
     def _load_or_build_slices(self) -> None:
         o = self.options
         path = self.cache_path()
+        native_path = path.replace(".npz", ".uadc")
+        if o.cache and os.path.isfile(native_path):
+            from unsupervised_anomaly_detection_brain_mri_tpu.data import (
+                native,
+            )
+
+            if native.available():
+                images, labels, sets = native.read_cache(native_path)
+                self._images = np.asarray(images)[..., None]
+                self._labels = np.asarray(labels)
+                self._sets = np.asarray(sets)
+                return
         if o.cache and os.path.isfile(path):
             blob = np.load(path)
             self._images = blob["images"]
@@ -327,8 +339,18 @@ class BaseDataset:
         self._sets = np.asarray(sets, np.int32)
         if o.cache:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            np.savez_compressed(path, images=self._images,
-                                labels=self._labels, sets=self._sets)
+            from unsupervised_anomaly_detection_brain_mri_tpu.data import (
+                native,
+            )
+
+            if native.available() and len(self._images):
+                # native binary cache: mmap-able on reload (zero-copy)
+                native.write_cache(
+                    native_path, self._images[..., 0], self._labels,
+                    self._sets)
+            else:
+                np.savez_compressed(path, images=self._images,
+                                    labels=self._labels, sets=self._sets)
 
     # ------------------------------------------------------------------
     # pool API (jitted epoch engine)

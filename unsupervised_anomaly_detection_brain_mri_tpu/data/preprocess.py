@@ -54,9 +54,21 @@ def normalize_volume(
 def resize_slice(img: np.ndarray, shape: Tuple[int, int],
                  nearest: bool = False) -> np.ndarray:
     """2-D resize; bilinear (images) or nearest (segmentations), parity with
-    the cv2 train-path resize (`dataloaders/BRAINWEB.py:141-142`)."""
+    the cv2 train-path resize (`dataloaders/BRAINWEB.py:141-142`).
+
+    Uses the native C++ kernels (cv2-identical sampling, `data/native.py`)
+    when the toolchain is available, then cv2, then scipy."""
     if img.shape == tuple(shape):
         return img
+    try:
+        from unsupervised_anomaly_detection_brain_mri_tpu.data import native
+
+        if native.available():
+            if nearest:
+                return native.resize_nearest(img, shape[0], shape[1])
+            return native.resize_bilinear(img, shape[0], shape[1])
+    except Exception:
+        pass
     if _HAVE_CV2:
         interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
         # cv2 takes (width, height)

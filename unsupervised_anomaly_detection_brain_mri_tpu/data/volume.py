@@ -66,7 +66,22 @@ class NII:
     def normalize(self, method: str = "scaling",
                   lowerpercentile: Optional[float] = None,
                   upperpercentile: Optional[float] = None) -> None:
-        """Percentile clamp then scale/standardize (`utils/NII.py:53-75`)."""
+        """Percentile clamp then scale/standardize (`utils/NII.py:53-75`).
+        Uses the native C++ kernel (`data/native.py`) when available."""
+        if method not in ("scaling", "standardization"):
+            raise ValueError(f"unknown normalization {method!r}")
+        try:
+            from unsupervised_anomaly_detection_brain_mri_tpu.data import (
+                native,
+            )
+
+            if native.available():
+                self.data = native.percentile_normalize(
+                    self.data.astype(np.float32), lowerpercentile,
+                    upperpercentile, method)
+                return
+        except Exception:
+            pass
         self.data = self.data.astype(np.float32)
         if lowerpercentile is not None:
             qlow = np.percentile(self.data, lowerpercentile)
@@ -78,11 +93,9 @@ class NII:
             m = float(self.data.max())
             if m > 0:
                 self.data = self.data / m
-        elif method == "standardization":
+        else:
             self.data = (self.data - self.data.mean()) / max(
                 float(self.data.std()), 1e-8)
-        else:
-            raise ValueError(f"unknown normalization {method!r}")
 
     def apply_skullmap(self, skullmap: "NII") -> None:
         """Binarize the mask at 0.1 and multiply (`utils/NII.py:77-83`)."""

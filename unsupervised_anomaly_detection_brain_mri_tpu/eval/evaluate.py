@@ -99,7 +99,11 @@ def _postprocess_jit(erosion_iters: int):
             skullmap.astype(bool))
         diff = diff * eroded.astype(diff.dtype)
         diff = jnp.where(use_prior & (x < prior_q), 0.0, diff)
-        filtered = P.median_filter_3d(diff, 5)
+        from unsupervised_anomaly_detection_brain_mri_tpu.ops.pallas_median import (
+            median_filter_3d_auto,
+        )
+
+        filtered = median_filter_3d_auto(diff, 5)
         return jnp.where(use_median, filtered, diff)
 
     return fn

@@ -70,6 +70,23 @@ def _reflect_pad(vol: Array, r: int) -> Array:
     return jnp.pad(vol, r, mode="symmetric")  # scipy 'reflect' == numpy 'symmetric'
 
 
+def median_from_slab(slab: Array, out_s: int, kernel: int = 5) -> Array:
+    """k^3 median of a FULLY PADDED slab: slab is (out_s + 2r, H + 2r,
+    W + 2r), output is (out_s, H, W).  Shared by the single-device chunked
+    filter and the halo-exchange sharded filter."""
+    r = kernel // 2
+    H = slab.shape[1] - 2 * r
+    W = slab.shape[2] - 2 * r
+    views = [
+        jax.lax.dynamic_slice(slab, (i, j, k), (out_s, H, W))
+        for i in range(kernel)
+        for j in range(kernel)
+        for k in range(kernel)
+    ]
+    stack = jnp.stack(views, axis=0)
+    return jnp.median(stack, axis=0)
+
+
 def median_filter_3d(vol: Array, kernel: int = 5, chunk: int = 16) -> Array:
     """Exact k^3 median with 'reflect' borders, chunked over the leading
     axis to bound memory (k^3 stacked views per chunk).
@@ -92,14 +109,7 @@ def median_filter_3d(vol: Array, kernel: int = 5, chunk: int = 16) -> Array:
         start = c * chunk
         slab = jax.lax.dynamic_slice(
             padded, (start, 0, 0), (chunk + 2 * r, H + 2 * r, W + 2 * r))
-        views = [
-            jax.lax.dynamic_slice(slab, (i, j, k), (chunk, H, W))
-            for i in range(kernel)
-            for j in range(kernel)
-            for k in range(kernel)
-        ]
-        stack = jnp.stack(views, axis=0)
-        return jnp.median(stack, axis=0)
+        return median_from_slab(slab, chunk, kernel)
 
     out = jax.lax.map(do_chunk, jnp.arange(n_chunks))
     return out.reshape(S_pad, H, W)[:S]

@@ -1,0 +1,62 @@
+"""Collective helpers + multi-host initialisation.
+
+The reference had no distributed backend (single `tf.Session()`,
+`run.py:50`); this layer provides the framework's communication primitives:
+thin wrappers over XLA collectives (compiled onto ICI within a slice, DCN
+across slices) and `jax.distributed.initialize` for multi-host runs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unsupervised_anomaly_detection_brain_mri_tpu.parallel.mesh import (
+    DATA_AXIS,
+)
+
+Array = jnp.ndarray
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up.  On single-host (or already-initialised)
+    environments this is a no-op; on TPU pods the arguments default from
+    the environment (`jax.distributed.initialize`)."""
+    if num_processes is not None and num_processes <= 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except (RuntimeError, ValueError):
+        pass  # already initialised or single-process
+
+
+def psum_mean(x: Array, axis_name: str = DATA_AXIS) -> Array:
+    """Mean over the data axis (gradient/metric averaging)."""
+    return jax.lax.psum(x, axis_name) / jax.lax.psum(
+        jnp.ones((), x.dtype), axis_name)
+
+
+def all_gather_batch(x: Array, axis_name: str = DATA_AXIS) -> Array:
+    """Gather shard-local batches into the full batch on every device."""
+    return jax.lax.all_gather(x, axis_name, axis=0, tiled=True)
+
+
+def shift_right(x: Array, axis_name: str = DATA_AXIS) -> Array:
+    """Ring shift: each device receives its LEFT neighbour's x (wraparound)."""
+    n = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def shift_left(x: Array, axis_name: str = DATA_AXIS) -> Array:
+    """Ring shift: each device receives its RIGHT neighbour's x."""
+    n = jax.lax.axis_size(axis_name)
+    perm = [(i, (i - 1) % n) for i in range(n)]
+    return jax.lax.ppermute(x, axis_name, perm)

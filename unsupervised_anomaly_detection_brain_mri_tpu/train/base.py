@@ -86,6 +86,13 @@ class BaseTrainer:
         self._reconstruct_jit: Dict[Any, Callable] = {}
         self.history: List[Dict[str, float]] = []
         self.tv_lambda_value = float(config.tv_lambda)
+        self.logger = None
+        if self.options.tensorboard and workdir:
+            from unsupervised_anomaly_detection_brain_mri_tpu.utils.logger import (
+                Logger,
+            )
+
+            self.logger = Logger(os.path.join(workdir, "logs"))
 
     # ------------------------------------------------------------------
     # model application
@@ -101,11 +108,21 @@ class BaseTrainer:
         trainers with extra inputs: ceVAE mask, AAE prior z)."""
         return (batch["x"],), {}
 
+    def maybe_add_instance_noise(self, batch: Batch, rng: Array,
+                                 train: bool) -> Batch:
+        """Optional N(0, 0.01) instance noise on training batches
+        (`dataloaders/BRAINWEB.py:466-468`), applied on device."""
+        if not train or not self.options.addInstanceNoise:
+            return batch
+        noise = 0.01 * jax.random.normal(rng, batch["x"].shape)
+        return {**batch, "x": batch["x"] + noise}
+
     def apply_model(self, params: Any, batch_stats: Any, rng: Array,
                     batch: Batch, train: bool, dropout: Optional[bool] = None
                     ) -> Tuple[Dict[str, Array], Any]:
         dropout = train if dropout is None else dropout
         in_rng, call_rng = jax.random.split(rng)
+        batch = self.maybe_add_instance_noise(batch, in_rng, train)
         args, kwargs = self.model_inputs(batch, in_rng, train)
         variables = {"params": params}
         if batch_stats:
@@ -261,6 +278,7 @@ class BaseTrainer:
                   + " ".join(f"{k}: {v:.6f}" for k, v in sorted(metrics.items()))
                   + f" ({sps:,.0f} slices/s)")
             self.history.append({"epoch": epoch, "phase": "TRAIN", **metrics})
+            self.log_epoch(epoch, "TRAIN", metrics, state, train_pool)
 
             if self.workdir and (epoch + 1) % c.snapshotEveryEpochs == 0:
                 self.save_checkpoint(state, epoch + 1)
@@ -278,6 +296,7 @@ class BaseTrainer:
                                      for k, v in sorted(vmetrics.items())))
                     self.history.append(
                         {"epoch": epoch, "phase": "VAL", **vmetrics})
+                    self.log_epoch(epoch, "VAL", vmetrics, state, val_pool)
                     if self.early_stopping_enabled():
                         best_cost, last_improvement, stop = early_stopping_update(
                             vmetrics.get(self.early_stop_metric,
@@ -291,6 +310,20 @@ class BaseTrainer:
 
         self.post_fit(dataset, state)
         return state
+
+    def log_epoch(self, epoch: int, phase: str, metrics: Dict[str, float],
+                  state: TrainState, pool: Optional[Batch]) -> None:
+        """TensorBoard epoch logging (scalars + image grid), parity with
+        `trainers/AEMODEL.py:37-42`."""
+        if self.logger is None:
+            return
+        self.logger.log_scalars(epoch, metrics, phase)
+        if pool is not None and len(pool["x"]):
+            n = min(8, int(pool["x"].shape[0]))
+            x = np.asarray(pool["x"][:n])
+            rec = self.reconstruct(state, x)["reconstruction"]
+            self.logger.log_visuals(epoch, x, rec, phase)
+        self.logger.flush()
 
     def num_epochs(self) -> int:
         return self.config.numEpochs
@@ -456,9 +489,13 @@ class VAE_You(VAE):
         of VAL, pick the lambda minimising sum|x - restored|."""
         c = self.config
         arr = dataset.slices("VAL")
-        n_batches = max(1, int((len(arr) // c.batchsize) * 0.2))
-        batches = arr[: n_batches * c.batchsize].reshape(
-            n_batches, c.batchsize, *arr.shape[1:])
+        bs = min(c.batchsize, len(arr))
+        if bs == 0:
+            print("determine_best_lambda: empty VAL split, keeping lambda")
+            return self.tv_lambda_value
+        n_batches = max(1, int((len(arr) // bs) * 0.2))
+        batches = arr[: n_batches * bs].reshape(
+            n_batches, bs, *arr.shape[1:])
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
@@ -571,6 +608,46 @@ class GMVAE(BaseTrainer):
     def compute_losses(self, outputs, batch):
         return L.gmvae_loss(batch["x"], outputs, self.config.dim_c,
                             self.config.c_lambda, self.spatial)
+
+    def post_fit(self, dataset, state: TrainState) -> None:
+        if self.tv_lambda_value < 0 and self.config.restore_steps > 0:
+            self.determine_best_lambda(dataset, state)
+
+    def determine_best_lambda(self, dataset, state: TrainState) -> float:
+        """tv_lambda sweep on 20% of VAL (`trainers/GMVAE.py:199-223`)."""
+        c = self.config
+        arr = dataset.slices("VAL")
+        bs = min(c.batchsize, len(arr))
+        if bs == 0:
+            print("determine_best_lambda: empty VAL split, keeping lambda")
+            return self.tv_lambda_value
+        n_batches = max(1, int((len(arr) // bs) * 0.2))
+        batches = arr[: n_batches * bs].reshape(
+            n_batches, bs, *arr.shape[1:])
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        pixel, recon = self._loss_and_recon_fns(variables)
+
+        @jax.jit
+        def sweep(bs):
+            lambdas = jnp.arange(20, dtype=jnp.float32) / 10.0
+
+            def err_for_lambda(lam):
+                def err_one(b):
+                    restored = restore_inputs(pixel, recon, b, lam,
+                                              c.restore_lr, c.restore_steps)
+                    return jnp.sum(jnp.abs(b - restored))
+
+                return jnp.mean(jax.lax.map(err_one, bs))
+
+            errors = jax.lax.map(err_for_lambda, lambdas)
+            return lambdas[jnp.argmin(errors)], errors
+
+        best, _ = sweep(jnp.asarray(batches))
+        self.tv_lambda_value = float(best)
+        print(f"Best lambda: {self.tv_lambda_value}")
+        return self.tv_lambda_value
 
     def _loss_and_recon_fns(self, variables):
         def scalar_loss(x_in: Array) -> Array:
