@@ -98,3 +98,31 @@ def test_collective_helpers(ctx8):
     out = f(x)
     np.testing.assert_allclose(np.asarray(out), np.full(8, np.mean(
         np.arange(8.0))), rtol=1e-6)
+
+
+def test_tensor_parallel_step(ctx8):
+    """dp=4 x tp=2: params sharded over 'model', one step runs finite."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.train import get_trainer
+
+    ctx = make_mesh(MeshConfig(data=4, model=2), jax.devices()[:8])
+    cfg = Config(trainer="AE", model="autoencoder", batchsize=8,
+                 outputWidth=32, outputHeight=32, zDim=16,
+                 compute_dtype="float32")
+    tr = get_trainer("AE")(cfg, mesh=ctx)
+    state = tr.init_state()
+    # at least one kernel is sharded over the model axis
+    from unsupervised_anomaly_detection_brain_mri_tpu.parallel.sharding import (
+        param_shardings,
+    )
+
+    specs = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda s: s.spec,
+                               param_shardings(ctx, state.params)),
+        is_leaf=lambda x: hasattr(x, "index"))
+    assert any("model" in str(s) for s in specs)
+
+    x = np.random.default_rng(0).uniform(
+        0, 1, (8, 32, 32, 1)).astype(np.float32)
+    step = jax.jit(tr._build_train_step())
+    state, m = step(state, ctx.shard_batch({"x": jnp.asarray(x)}))
+    assert np.isfinite(float(m["loss"]))

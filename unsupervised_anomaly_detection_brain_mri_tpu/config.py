@@ -149,6 +149,10 @@ class Config:
     # parallelism (new)
     mesh: MeshConfig = field(default_factory=MeshConfig)
 
+    # debugging — aborts on the first NaN anywhere in the jitted step
+    # (fills the reference's missing sanitizer role, SURVEY.md section 5)
+    debugNaN: bool = False
+
     # rng
     seed: int = 42
 

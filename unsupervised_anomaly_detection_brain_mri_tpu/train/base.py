@@ -223,7 +223,22 @@ class BaseTrainer:
             rng=state_rng, epoch=jnp.asarray(0, jnp.int32),
             step=jnp.asarray(0, jnp.int32))
         if self.mesh is not None:
-            state = self.mesh.replicate(state)
+            from unsupervised_anomaly_detection_brain_mri_tpu.parallel.sharding import (
+                shard_like_params,
+                shard_params,
+            )
+
+            if self.mesh.n_model > 1:
+                state = state.replace(
+                    params=shard_params(self.mesh, state.params),
+                    batch_stats=self.mesh.replicate(state.batch_stats),
+                    opt_states=shard_like_params(
+                        self.mesh, state.params, state.opt_states),
+                    rng=self.mesh.replicate(state.rng),
+                    epoch=self.mesh.replicate(state.epoch),
+                    step=self.mesh.replicate(state.step))
+            else:
+                state = self.mesh.replicate(state)
         print(f"[{self.__class__.__name__}] {self.config.model}: "
               f"{count_params(params):,} parameters")
         return state
@@ -247,6 +262,8 @@ class BaseTrainer:
         Parity with the reference train loops (`trainers/AE.py:23-61`).
         """
         c = self.config
+        if c.debugNaN:
+            jax.config.update("jax_debug_nans", True)
         state = state if state is not None else self.init_state()
         start_epoch = 0
         if resume and self.workdir:
