@@ -10,9 +10,13 @@ The measured configuration mirrors the reference's flagship experiment
 ``vs_baseline`` compares the TPU-native path (whole-epoch `lax.scan`,
 device-resident pool, bf16 convs) against a faithfully TF1-shaped execution
 of the SAME model on the SAME chip: per-batch dispatch with host->device
-feed and per-batch metric fetch (`trainers/AE.py:63-90` crossed the
-host boundary twice per step) in f32.  This isolates the framework design
-delta from hardware differences.
+feed and per-batch metric fetch (`trainers/AE.py:63-90` crossed the host
+boundary twice per step) in f32.  This isolates the framework design delta
+from hardware differences.
+
+The remote-TPU tunnel adds large, variable latency and
+``block_until_ready`` does not wait through it — every timing forces a
+value fetch, and each measurement takes the best of ``TRIALS`` runs.
 """
 
 import json
@@ -21,6 +25,18 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+TRIALS = 3
+
+
+def _best_throughput(fn, units_per_call: int, n_calls: int) -> float:
+    best = 0.0
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        fn(n_calls)
+        dt = time.perf_counter() - t0
+        best = max(best, units_per_call * n_calls / dt)
+    return best
 
 
 def main() -> None:
@@ -34,65 +50,83 @@ def main() -> None:
     n_slices = 1024
     host_rng = np.random.default_rng(0)
     pool_np = host_rng.uniform(0, 1, (n_slices, H, H, 1)).astype(np.float32)
+    pool = {"x": jnp.asarray(pool_np)}
+    detail = {"batch": B, "image": H, "device": str(jax.devices()[0])}
 
-    # ---- TPU-native path: jitted epoch scan over a device-resident pool
+    def epoch_runner(trainer, state_holder):
+        def run(n_epochs: int):
+            state = state_holder[0]
+            for _ in range(n_epochs):
+                idxs = jnp.asarray(epoch_indices(host_rng, n_slices, B))
+                state, m = trainer._train_compiler(state, pool, idxs)
+            _ = float(m["loss"])  # force completion through the tunnel
+            state_holder[0] = state
+        return run
+
+    # ---- TPU-native AE path
     cfg = Config(trainer="AE", model="autoencoder", batchsize=B,
                  outputWidth=H, outputHeight=H, zDim=128, numEpochs=1)
     tr = get_trainer("AE")(cfg)
-    state = tr.init_state()
-    pool = {"x": jnp.asarray(pool_np)}
+    holder = [tr.init_state()]
+    run = epoch_runner(tr, holder)
+    run(1)  # compile + warmup
+    native_sps = _best_throughput(run, n_slices, 4)
+    detail["native_ae_slices_per_sec"] = round(native_sps, 1)
 
-    def run_epoch(state):
-        idxs = jnp.asarray(epoch_indices(host_rng, n_slices, B))
-        return tr._train_compiler(state, pool, idxs), idxs.size
+    # ---- VAE path (BASELINE.md names AE & VAE)
+    vcfg = Config(trainer="VAE", model="variational_autoencoder",
+                  batchsize=B, outputWidth=H, outputHeight=H, zDim=128)
+    vtr = get_trainer("VAE")(vcfg)
+    vholder = [vtr.init_state()]
+    vrun = epoch_runner(vtr, vholder)
+    vrun(1)
+    detail["native_vae_slices_per_sec"] = round(
+        _best_throughput(vrun, n_slices, 4), 1)
 
-    (state, m), _ = run_epoch(state)  # compile + warmup
-    _ = float(m["loss"])  # full sync (block_until_ready is a no-op through
-    # the remote-TPU tunnel; a value fetch forces completion)
-    t0 = time.perf_counter()
-    n_epochs = 4
-    total = 0
-    for _ in range(n_epochs):
-        (state, m), n = run_epoch(state)
-        total += n
-    _ = float(m["loss"])
-    dt = time.perf_counter() - t0
-    native_sps = total / dt
-
-    # ---- TF1-shaped baseline: same chip, per-batch host feed + fetch, f32
+    # ---- TF1-shaped baseline: per-batch host feed + fetch, f32
     cfg_b = cfg.replace(compute_dtype="float32")
     tr_b = get_trainer("AE")(cfg_b)
     state_b = tr_b.init_state()
     step = jax.jit(tr_b._build_train_step())
 
-    def run_baseline_steps(state_b, n_steps):
+    def run_baseline(n_steps: int):
+        nonlocal state_b
         idxs = epoch_indices(host_rng, n_slices, B)
-        n = 0
         for row in idxs[:n_steps]:
-            batch_np = pool_np[row]  # host-side batch assembly (feed_dict)
-            batch = {"x": jnp.asarray(batch_np)}  # host->device
+            batch = {"x": jnp.asarray(pool_np[row])}  # host->device feed
             state_b, metrics = step(state_b, batch)
             _ = float(metrics["loss"])  # device->host fetch per step
-            n += row.size
-        return state_b, n
+    run_baseline(2)  # compile + warmup
+    baseline_sps = _best_throughput(run_baseline, B, 8)
+    detail["tf1_shaped_baseline_slices_per_sec"] = round(baseline_sps, 1)
 
-    state_b, _ = run_baseline_steps(state_b, 2)  # compile + warmup
-    t0 = time.perf_counter()
-    state_b, nb = run_baseline_steps(state_b, 8)
-    dt_b = time.perf_counter() - t0
-    baseline_sps = nb / dt_b
+    # ---- on-device eval post-processing (Pallas median when on TPU)
+    try:
+        from unsupervised_anomaly_detection_brain_mri_tpu.ops.pallas_median import (
+            median_filter_3d_auto,
+        )
+
+        vol = jnp.asarray(host_rng.uniform(
+            0, 1, (112, H, H)).astype(np.float32))
+        f = jax.jit(lambda v: median_filter_3d_auto(v))
+        _ = float(jnp.sum(f(vol)))  # compile
+
+        def run_median(n: int):
+            for _ in range(n):
+                r = f(vol)
+            _ = float(jnp.sum(r))
+
+        vols_per_sec = _best_throughput(run_median, 1, 5)
+        detail["median5_volumes_per_sec"] = round(vols_per_sec, 2)
+    except Exception as e:  # pragma: no cover - keep the headline metric
+        detail["median_bench_error"] = str(e)[:120]
 
     print(json.dumps({
         "metric": "brainweb_ae_train_throughput",
         "value": round(native_sps, 1),
         "unit": "slices/sec/chip",
         "vs_baseline": round(native_sps / baseline_sps, 2),
-        "detail": {
-            "native_slices_per_sec": round(native_sps, 1),
-            "tf1_shaped_baseline_slices_per_sec": round(baseline_sps, 1),
-            "batch": B, "image": H, "model": "autoencoder",
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }))
 
 

@@ -238,8 +238,9 @@ class Options:
     computePRC: bool = True
     computeROC: bool = True
 
-    # logging
+    # logging / profiling
     tensorboard: bool = False
+    profileDir: Optional[str] = None  # jax.profiler trace of the first epoch
 
     def replace(self, **kw: Any) -> "Options":
         return dataclasses.replace(self, **kw)

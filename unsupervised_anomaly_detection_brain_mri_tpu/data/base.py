@@ -405,6 +405,36 @@ class BaseDataset:
         return images, labels, None
 
     # ------------------------------------------------------------------
+    # debug helpers (`dataloaders/BRAINWEB.py:390-404`)
+
+    def export_slices(self, out_dir: str, limit: int = 100) -> None:
+        """Dump pool slices as PNGs for inspection."""
+        import imageio.v2 as imageio
+
+        os.makedirs(out_dir, exist_ok=True)
+        for i in range(min(len(self._images), limit)):
+            img = self._images[i, :, :, 0]
+            lo, hi = img.min(), img.max()
+            if hi > lo:
+                img = (img - lo) / (hi - lo)
+            imageio.imwrite(os.path.join(out_dir, f"slice_{i:04d}.png"),
+                            (img * 255).astype(np.uint8))
+
+    def visualize(self, pause: float = 1.0, set: str = "TRAIN") -> None:
+        """Interactive patch/groundtruth browser (debug only)."""
+        import matplotlib.pyplot as plt
+
+        idx = self._split_indices(set)
+        for i in idx[:10]:
+            fig, (ax1, ax2) = plt.subplots(1, 2)
+            ax1.imshow(self._images[i, :, :, 0], cmap="gray")
+            ax1.set_title("Patch")
+            ax2.imshow(self._labels[i], cmap="gray")
+            ax2.set_title("Groundtruth")
+            plt.pause(pause)
+            plt.close(fig)
+
+    # ------------------------------------------------------------------
     # eval API (volume arrays, axial on last axis)
 
     def load_volume_and_groundtruth(self, patient: Dict[str, Any]):

@@ -113,10 +113,16 @@ def overlay_prediction_groundtruth(x: np.ndarray, pred: np.ndarray,
 
 def export_slice_images(sample_dir: str, x: np.ndarray, recs: np.ndarray,
                         diffs: np.ndarray, labelmaps: np.ndarray,
-                        thresholded: np.ndarray) -> None:
+                        thresholded: np.ndarray,
+                        epistemic: Optional[np.ndarray] = None) -> None:
     """Per-slice PNG dumps (`utils/Evaluation.py:302-321,501-507`)."""
     os.makedirs(sample_dir, exist_ok=True)
     for i in range(x.shape[0]):
+        if epistemic is not None:
+            heat = plt.cm.jet(_norm_u8(epistemic[i]) / 255.0)[..., :3]
+            imageio.imwrite(
+                os.path.join(sample_dir, f"{i}_rec_variance_combined.png"),
+                (heat * 255).astype(np.uint8))
         imageio.imwrite(os.path.join(sample_dir, f"{i}.png"),
                         _norm_u8(x[i]))
         imageio.imwrite(os.path.join(sample_dir, f"{i}_rec.png"),

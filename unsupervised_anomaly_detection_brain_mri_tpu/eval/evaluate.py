@@ -209,6 +209,28 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
     flat_scores = diffs.ravel()
     flat_labels = labels.ravel() > 0.5
 
+    # per-class residual histograms (:398-412)
+    histogram_range = (0.01, 0.075)
+    hist, _ = np.histogram(eval_pc["diffs"], bins=50,
+                           range=histogram_range)
+    eval_pc["diffHistogram"] = hist
+    artifacts.plot_histogram_with_labels(
+        eval_pc["diffs"], eval_pc["labelmaps"], "auto", histogram_range,
+        "Histogram of difference images in the lesion testing dataset",
+        export_pdf=os.path.join(
+            eval_dir, "testing_lesions_diffimages_histogram.pdf"))
+    if "epistemic_variance" in eval_pc:
+        ev = eval_pc["epistemic_variance"]
+        pos = ev[ev >= 0]
+        if pos.size:
+            p998 = float(np.percentile(pos, 99.8))
+            artifacts.plot_histogram_with_labels(
+                ev, eval_pc["labelmaps"], 50, (1e-5, max(p998, 2e-5)),
+                "Histogram of epistemic variances",
+                export_pdf=os.path.join(
+                    eval_dir,
+                    "testing_lesions_epistemic_variances_histogram.pdf"))
+
     # ROC / PRC (:414-440)
     if options.computeROC:
         t0 = time.time()
@@ -304,7 +326,28 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
         artifacts.export_slice_images(
             sample_dir, eval_pc["x"], eval_pc["reconstructions"],
             eval_pc["diffs"], eval_pc["labelmaps"],
-            np.asarray(thresholded))
+            np.asarray(thresholded),
+            epistemic=eval_pc.get("epistemic_variance"))
+
+    if options.exportVolumes:
+        # residual-volume NIfTI export (+ binary at the operating point),
+        # parity with `Evaluation.py:323-334`
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.formats import (
+            write_nifti,
+        )
+
+        start = 0
+        diffs_np = np.asarray(diffs)
+        for n_slices, patient in zip(eval_pc["slices_per_patient"],
+                                     patients):
+            sub = np.transpose(diffs_np[start:start + n_slices],
+                               (1, 2, 0))  # (H, W, S)
+            name = patient.get("name", f"patient{start}")
+            write_nifti(os.path.join(sample_dir, f"{name}.nii.gz"), sub)
+            write_nifti(
+                os.path.join(sample_dir, f"{name}.binary.nii.gz"),
+                (sub > threshold).astype(np.float32))
+            start += n_slices
 
     # evalPC export (:519-526)
     export = {k: v for k, v in eval_pc.items()

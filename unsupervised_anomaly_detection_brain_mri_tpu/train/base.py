@@ -270,7 +270,6 @@ class BaseTrainer:
             restored = self.load_checkpoint(state)
             if restored is not None:
                 state, start_epoch = restored
-        host_rng = np.random.default_rng(c.seed + 1)
 
         train_pool = self._pool_from_dataset(dataset, "TRAIN")
         val_pool = self._pool_from_dataset(dataset, "VAL")
@@ -283,10 +282,22 @@ class BaseTrainer:
 
         for epoch in range(start_epoch, self.num_epochs()):
             t0 = time.time()
+            # per-epoch seeded shuffle: the data order is a pure function of
+            # (seed, epoch), so training is deterministic across
+            # checkpoint-resume (SURVEY.md section 5, failure recovery)
+            host_rng = np.random.default_rng((c.seed + 1, epoch))
             idxs = epoch_indices(host_rng, n_train, c.batchsize)
+            profile_ctx = None
+            if getattr(self.options, "profileDir", None) and epoch == start_epoch:
+                profile_ctx = jax.profiler.trace(self.options.profileDir)
+                profile_ctx.__enter__()
             state, metrics = self._train_compiler(
                 state, train_pool, jnp.asarray(idxs),
                 **self.epoch_static(epoch, "TRAIN"))
+            if profile_ctx is not None:
+                jax.tree_util.tree_map(
+                    lambda a: a.block_until_ready(), state.params)
+                profile_ctx.__exit__(None, None, None)
             state = state.replace(epoch=state.epoch + 1)
             metrics = {k: float(v) for k, v in metrics.items()}
             dt = time.time() - t0

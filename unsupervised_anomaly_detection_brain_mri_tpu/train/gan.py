@@ -532,6 +532,7 @@ class FAnoGAN(AdversarialTrainerBase):
 
         for epoch in range(self.num_epochs()):
             phase2 = epoch >= c.numEpochs
+            host_rng = np.random.default_rng((c.seed + 1, epoch))
             idxs = epoch_indices(host_rng, n_train, c.batchsize)
             state, metrics = self._train_compiler(
                 state, train_pool, jnp.asarray(idxs), phase2=phase2)
