@@ -125,8 +125,9 @@ class Config:
     # early stopping (AEMODEL.indicate_early_stopping parity: patience 5)
     earlyStoppingPatience: int = 5
 
-    # checkpoint cadence
+    # checkpoint cadence / retention
     snapshotEveryEpochs: int = 1
+    keepCheckpoints: int = 5
 
     # --- per-algorithm extras (reference per-trainer Config fields) ---
     # VAE_You / GMVAE restoration (`trainers/GMVAE.py:12-21`)

@@ -287,6 +287,10 @@ class BaseTrainer:
             # checkpoint-resume (SURVEY.md section 5, failure recovery)
             host_rng = np.random.default_rng((c.seed + 1, epoch))
             idxs = epoch_indices(host_rng, n_train, c.batchsize)
+            if idxs.size == 0:
+                raise ValueError(
+                    f"batchsize {c.batchsize} exceeds the training pool of "
+                    f"{n_train} slices — no full batch can be formed")
             profile_ctx = None
             if getattr(self.options, "profileDir", None) and epoch == start_epoch:
                 profile_ctx = jax.profiler.trace(self.options.profileDir)
@@ -369,7 +373,9 @@ class BaseTrainer:
         import orbax.checkpoint as ocp
         path = os.path.abspath(os.path.join(self.workdir, "ckpt"))
         os.makedirs(path, exist_ok=True)
-        return ocp.CheckpointManager(path)
+        return ocp.CheckpointManager(
+            path, options=ocp.CheckpointManagerOptions(
+                max_to_keep=self.config.keepCheckpoints))
 
     def save_checkpoint(self, state: TrainState, epoch: int) -> None:
         import orbax.checkpoint as ocp

@@ -534,6 +534,10 @@ class FAnoGAN(AdversarialTrainerBase):
             phase2 = epoch >= c.numEpochs
             host_rng = np.random.default_rng((c.seed + 1, epoch))
             idxs = epoch_indices(host_rng, n_train, c.batchsize)
+            if idxs.size == 0:
+                raise ValueError(
+                    f"batchsize {c.batchsize} exceeds the training pool of "
+                    f"{n_train} slices — no full batch can be formed")
             state, metrics = self._train_compiler(
                 state, train_pool, jnp.asarray(idxs), phase2=phase2)
             state = state.replace(epoch=state.epoch + 1)
