@@ -29,6 +29,7 @@ from __future__ import annotations
 import math
 from typing import Any, Callable, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -193,6 +194,18 @@ class DenseBottleneck(nn.Module):
             dtype=self.dtype, name="intermediate_conv_reverse",
         )(dec.reshape((x.shape[0],) + tuple(reshape)))
         return z.astype(jnp.float32), out
+
+
+def sample_from_prior(model, variables, rng, n: int, z_dim: int,
+                      method: str = "decode", **kwargs):
+    """Decode latents drawn from N(0, I) — parity with
+    `models/customlayers.py:8-13` (``sample``).
+
+    Works with any zoo model exposing a latent->image method (``decode`` on
+    the AAE family, ``generate`` on the GAN family).
+    """
+    z = jax.random.normal(rng, (n, z_dim))
+    return model.apply(variables, z, method=method, **kwargs)
 
 
 class MLPDiscriminator(nn.Module):
