@@ -40,6 +40,11 @@ def _best_throughput(fn, units_per_call: int, n_calls: int) -> float:
 
 
 def main() -> None:
+    from unsupervised_anomaly_detection_brain_mri_tpu.utils.misc import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     from unsupervised_anomaly_detection_brain_mri_tpu.config import Config
     from unsupervised_anomaly_detection_brain_mri_tpu.train import get_trainer
     from unsupervised_anomaly_detection_brain_mri_tpu.train.engine import (

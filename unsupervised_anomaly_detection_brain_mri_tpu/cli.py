@@ -106,40 +106,56 @@ def build_dataset(options: Options, config: Config, dataset: Dataset,
     raise ValueError(f"unknown dataset {dataset}")
 
 
+# Reference `run.py:122-150` flag defaults.  The parser itself uses None
+# sentinels so "explicitly passed (even at the default value)" is
+# distinguishable from "not passed" — presets only yield to flags the user
+# actually typed.
+CLI_DEFAULTS = {
+    "batchsize": 8, "lr": 0.0001, "numEpochs": 1000, "zDim": 128,
+    "outputWidth": 128, "outputHeight": 128, "optimizer": "ADAM",
+    "intermediateResolutions": "8,8", "slices_start": 20,
+    "slices_end": 130, "trainer": "AE", "model": "autoencoder",
+    "numMonteCarloSamples": 0, "use_gradient_based_restoration": 0.0,
+    "kappa": 1.0, "scale": 10.0, "rho": 1.0, "dim_c": 9, "dim_z": 128,
+    "dim_w": 1, "c_lambda": 1.0, "restore_lr": 1e-3,
+    "restore_steps": 150, "tv_lambda": -1.0,
+}
+
+
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Framework")
     p.add_argument("-c", "--config", default=None, type=str,
                    help="config-path (JSON path roots)")
-    p.add_argument("-b", "--batchsize", default=8, type=int)
-    p.add_argument("-l", "--lr", default=0.0001, type=float)
-    p.add_argument("-E", "--numEpochs", default=1000, type=int)
-    p.add_argument("-z", "--zDim", default=128, type=int)
-    p.add_argument("-w", "--outputWidth", default=128, type=int)
-    p.add_argument("-g", "--outputHeight", default=128, type=int)
-    p.add_argument("-o", "--optimizer", default="ADAM", type=str)
-    p.add_argument("-i", "--intermediateResolutions", default="8,8",
+    p.add_argument("-b", "--batchsize", default=None, type=int)
+    p.add_argument("-l", "--lr", default=None, type=float)
+    p.add_argument("-E", "--numEpochs", default=None, type=int)
+    p.add_argument("-z", "--zDim", default=None, type=int)
+    p.add_argument("-w", "--outputWidth", default=None, type=int)
+    p.add_argument("-g", "--outputHeight", default=None, type=int)
+    p.add_argument("-o", "--optimizer", default=None, type=str)
+    p.add_argument("-i", "--intermediateResolutions", default=None,
                    type=str, help="Spatial bottleneck resolution, e.g. 8,8")
-    p.add_argument("-s", "--slices_start", default=20, type=int)
-    p.add_argument("-e", "--slices_end", default=130, type=int)
-    p.add_argument("-t", "--trainer", default="AE", type=str)
-    p.add_argument("-m", "--model", default="autoencoder", type=str)
+    p.add_argument("-s", "--slices_start", default=None, type=int)
+    p.add_argument("-e", "--slices_end", default=None, type=int)
+    p.add_argument("-t", "--trainer", default=None, type=str)
+    p.add_argument("-m", "--model", default=None, type=str)
     p.add_argument("-O", "--threshold", default=None, type=float)
     p.add_argument("-d", "--ds", default=None, type=str,
                    help="Only evaluate on the given dataset")
     # per-architecture extras
-    p.add_argument("-n", "--numMonteCarloSamples", default=0, type=int)
-    p.add_argument("-G", "--use_gradient_based_restoration", default=0.0,
+    p.add_argument("-n", "--numMonteCarloSamples", default=None, type=int)
+    p.add_argument("-G", "--use_gradient_based_restoration", default=None,
                    type=float)
-    p.add_argument("-K", "--kappa", default=1.0, type=float)
-    p.add_argument("-M", "--scale", default=10.0, type=float)
-    p.add_argument("-R", "--rho", default=1.0, type=float)
-    p.add_argument("-C", "--dim_c", default=9, type=int)
-    p.add_argument("-Z", "--dim_z", default=128, type=int)
-    p.add_argument("-W", "--dim_w", default=1, type=int)
-    p.add_argument("-A", "--c_lambda", default=1.0, type=float)
-    p.add_argument("-L", "--restore_lr", default=1e-3, type=float)
-    p.add_argument("-S", "--restore_steps", default=150, type=int)
-    p.add_argument("-T", "--tv_lambda", default=-1.0, type=float)
+    p.add_argument("-K", "--kappa", default=None, type=float)
+    p.add_argument("-M", "--scale", default=None, type=float)
+    p.add_argument("-R", "--rho", default=None, type=float)
+    p.add_argument("-C", "--dim_c", default=None, type=int)
+    p.add_argument("-Z", "--dim_z", default=None, type=int)
+    p.add_argument("-W", "--dim_w", default=None, type=int)
+    p.add_argument("-A", "--c_lambda", default=None, type=float)
+    p.add_argument("-L", "--restore_lr", default=None, type=float)
+    p.add_argument("-S", "--restore_steps", default=None, type=int)
+    p.add_argument("-T", "--tv_lambda", default=None, type=float)
     # TPU-native additions
     p.add_argument("--synthetic", action="store_true",
                    help="hermetic run on the procedural phantom dataset")
@@ -167,7 +183,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     from unsupervised_anomaly_detection_brain_mri_tpu.train import get_trainer
 
+    from unsupervised_anomaly_detection_brain_mri_tpu.utils.misc import (
+        enable_persistent_compilation_cache,
+    )
+
+    enable_persistent_compilation_cache()
     args = make_parser().parse_args(argv)
+    passed = {k for k, v in vars(args).items()
+              if v is not None and k in CLI_DEFAULTS}
+    for k, v in CLI_DEFAULTS.items():
+        if getattr(args, k, None) is None:
+            setattr(args, k, v)
 
     paths = (PathConfig.from_json(args.config) if args.config
              else PathConfig())
@@ -192,9 +218,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.preset:
         # preset values win over UNSPECIFIED CLI flags (the reference mains
         # hardcoded their hyperparameters); explicitly-passed flags win
-        defaults = vars(make_parser().parse_args([]))
-        passed = {k for k, v in vars(args).items()
-                  if defaults.get(k) != v}
         flag_to_field = {"lr": "learningrate",
                          "intermediateResolutions": "intermediateResolutions",
                          "precision": "compute_dtype",

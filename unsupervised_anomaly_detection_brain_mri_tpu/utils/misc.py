@@ -3,9 +3,30 @@
 from __future__ import annotations
 
 import datetime
+import os
 from typing import Optional
 
 import numpy as np
+
+
+def enable_persistent_compilation_cache(
+        path: Optional[str] = None) -> None:
+    """Cache XLA/Mosaic compilations on disk across processes.
+
+    Cold compiles through the remote-TPU tunnel cost minutes (the Pallas
+    median kernel alone ~160s); with the persistent cache, repeat runs of
+    the CLI / bench / eval pipeline skip them entirely.
+    """
+    import jax
+
+    path = path or os.path.join(
+        os.path.expanduser("~"), ".cache", "uadmri_jax")
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax or read-only fs: run without the cache
 
 
 def timestamp() -> str:
