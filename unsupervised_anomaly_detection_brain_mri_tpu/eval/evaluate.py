@@ -231,38 +231,30 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
                     eval_dir,
                     "testing_lesions_epistemic_variances_histogram.pdf"))
 
-    # ROC / PRC (:414-440)
+    # ROC / PRC / best-dice — one jitted sorted sweep (:414-451)
+    t0 = time.time()
+    summary = jax.jit(M.anomaly_curve_summary)(flat_scores, flat_labels)
+    summary = jax.tree_util.tree_map(np.asarray, summary)
+    eval_pc["bestDiceScore"] = float(summary["best_dice"])
+    eval_pc["bestThreshold"] = float(summary["best_threshold"])
+    prc = summary["prc"]
     if options.computeROC:
-        t0 = time.time()
-        eval_pc["diff_AUC"] = float(M.roc_auc(flat_scores, flat_labels))
-        roc = {k: np.asarray(v) for k, v in M.roc_curve_points(
-            flat_scores, flat_labels).items()}
+        eval_pc["diff_AUC"] = float(summary["auc"])
+        roc = summary["roc"]
         np.save(os.path.join(eval_dir, "rocPC.npy"), roc,
                 allow_pickle=True)
         artifacts.plot_roc(roc, eval_pc["diff_AUC"],
                            os.path.join(eval_dir, "rocPC.png"))
-        print(f"ROC done in {time.time() - t0:.2f}s "
-              f"(AUC={eval_pc['diff_AUC']:.4f})")
     if options.computePRC:
-        t0 = time.time()
-        eval_pc["diff_AUPRC"] = float(
-            M.average_precision(flat_scores, flat_labels))
-        prc = {k: np.asarray(v) for k, v in M.prc_curve_points(
-            flat_scores, flat_labels).items()}
-        np.save(os.path.join(eval_dir, "prcPC.npy"), prc,
+        eval_pc["diff_AUPRC"] = float(summary["ap"])
+        np.save(os.path.join(eval_dir, "prcPC.npy"), dict(prc),
                 allow_pickle=True)
         artifacts.plot_prc(prc, eval_pc["diff_AUPRC"],
                            os.path.join(eval_dir, "prcPC.png"))
-        print(f"PRC done in {time.time() - t0:.2f}s "
-              f"(AUPRC={eval_pc['diff_AUPRC']:.4f})")
-
-    # best-dice threshold sweep (:442-451)
-    t0 = time.time()
-    best_dice, best_thresh = M.best_dice_threshold(flat_scores, flat_labels)
-    eval_pc["bestDiceScore"] = float(best_dice)
-    eval_pc["bestThreshold"] = float(best_thresh)
-    print(f"DICE curve done in {time.time() - t0:.2f}s "
-          f"(best {eval_pc['bestDiceScore']:.4f} @ "
+    print(f"Curves done in {time.time() - t0:.2f}s "
+          f"(AUC={eval_pc.get('diff_AUC', float('nan')):.4f} "
+          f"AUPRC={eval_pc.get('diff_AUPRC', float('nan')):.4f} "
+          f"bestDice={eval_pc['bestDiceScore']:.4f} @ "
           f"{eval_pc['bestThreshold']:.5f})")
 
     # threshold selection + CC filtering (:453-458)

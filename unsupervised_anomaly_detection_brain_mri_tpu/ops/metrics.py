@@ -95,80 +95,102 @@ def _sorted_counts(scores: Array, labels: Array):
     return s, tps, fps, distinct
 
 
-def _prev_group_values(values: Array, distinct: Array) -> Array:
-    """For each group-end position, the value at the PREVIOUS group end
-    (0 for the first group).  Static-shape scatter/gather."""
-    n = values.shape[0]
-    gid = jnp.cumsum(distinct.astype(jnp.int32))  # 1-based at group ends
-    table = jnp.zeros((n + 1,), values.dtype)
-    idx = jnp.where(distinct, gid, 0)
-    table = table.at[idx].set(jnp.where(distinct, values, 0.0))
-    # table[0] collects all non-end writes (0); group g's value at table[g]
-    return table[jnp.maximum(gid - 1, 0)] * (gid > 1)
+def _group_starts(s_desc: Array) -> Array:
+    """For each position in a descending-sorted array, the index of the
+    FIRST element of its tie group (vectorised searchsorted — no scatter,
+    which is slow on TPU)."""
+    return jnp.searchsorted(-s_desc, -s_desc, side="left")
 
 
-def roc_auc(scores: Array, labels: Array) -> Array:
-    """Exact AUROC with sklearn tie handling (`Metrics.py:45-64`)."""
-    s, tps, fps, distinct = _sorted_counts(scores, labels)
+def _prev_group_values(values: Array, s_desc: Array) -> Array:
+    """For each position, the value at the END of the PREVIOUS tie group
+    (0 for the first group): values[group_start - 1]."""
+    starts = _group_starts(s_desc)
+    prev = values[jnp.maximum(starts - 1, 0)]
+    return jnp.where(starts > 0, prev, 0.0)
+
+
+def _roc_auc_from_counts(s, tps, fps, distinct) -> Array:
     P = tps[-1]
     N = fps[-1]
     tpr_v = tps / P
     fpr_v = fps / N
-    tpr_prev = _prev_group_values(tpr_v, distinct)
-    fpr_prev = _prev_group_values(fpr_v, distinct)
+    tpr_prev = _prev_group_values(tpr_v, s)
+    fpr_prev = _prev_group_values(fpr_v, s)
     seg = jnp.where(distinct,
                     (fpr_v - fpr_prev) * (tpr_v + tpr_prev) * 0.5, 0.0)
     return jnp.sum(seg)
 
 
-def average_precision(scores: Array, labels: Array) -> Array:
-    """sklearn ``average_precision_score``: sum over distinct thresholds of
-    (R_n - R_{n-1}) * P_n (`Metrics.py:17-42`)."""
-    s, tps, fps, distinct = _sorted_counts(scores, labels)
+def _average_precision_from_counts(s, tps, fps, distinct) -> Array:
     P = tps[-1]
     prec = tps / jnp.maximum(tps + fps, 1.0)
-    tps_prev = _prev_group_values(tps, distinct)
+    tps_prev = _prev_group_values(tps, s)
     seg = jnp.where(distinct, (tps - tps_prev) / P * prec, 0.0)
     return jnp.sum(seg)
 
 
+def roc_auc(scores: Array, labels: Array) -> Array:
+    """Exact AUROC with sklearn tie handling (`Metrics.py:45-64`)."""
+    return _roc_auc_from_counts(*_sorted_counts(scores, labels))
+
+
+def average_precision(scores: Array, labels: Array) -> Array:
+    """sklearn ``average_precision_score``: sum over distinct thresholds of
+    (R_n - R_{n-1}) * P_n (`Metrics.py:17-42`)."""
+    return _average_precision_from_counts(*_sorted_counts(scores, labels))
+
+
+def anomaly_curve_summary(scores: Array, labels: Array,
+                          num_points: int = 256) -> Dict[str, Array]:
+    """AUROC + AP + best-dice threshold + ROC/PRC curve samples from ONE
+    sorted sweep (the eval pipeline's hot metric path — one O(N log N)
+    sort instead of five)."""
+    s, tps, fps, distinct = _sorted_counts(scores, labels)
+    P = tps[-1]
+    n = s.shape[0]
+
+    dice_v = jnp.where(distinct, 2.0 * tps / (tps + fps + P), -1.0)
+    i = jnp.argmax(dice_v)
+    nxt = jnp.where(i + 1 < n, s[jnp.minimum(i + 1, n - 1)], 0.0)
+
+    pos = jnp.linspace(0, n - 1, num_points).astype(jnp.int32)
+    return {
+        "auc": _roc_auc_from_counts(s, tps, fps, distinct),
+        "ap": _average_precision_from_counts(s, tps, fps, distinct),
+        "best_dice": dice_v[i],
+        "best_threshold": nxt,
+        "roc": {"fpr": fps[pos] / fps[-1], "tpr": tps[pos] / P,
+                "thresholds": s[pos]},
+        "prc": {"precisions": tps[pos] / jnp.maximum(tps[pos] + fps[pos],
+                                                     1.0),
+                "recalls": tps[pos] / P, "thresholds": s[pos]},
+    }
+
+
+def _curve_samples(scores: Array, labels: Array, num_points: int):
+    """One sorted sweep, sampled at ``num_points`` even positions along the
+    sorted order — exact points of the empirical curve, O(N log N) total
+    instead of num_points full-array rescans."""
+    s, tps, fps, _ = _sorted_counts(scores, labels)
+    n = s.shape[0]
+    pos = jnp.linspace(0, n - 1, num_points).astype(jnp.int32)
+    return s[pos], tps[pos], fps[pos], tps[-1], fps[-1]
+
+
 def roc_curve_points(scores: Array, labels: Array, num_points: int = 256
                      ) -> Dict[str, Array]:
-    """(fpr, tpr, thresholds) sampled on an even threshold grid for curve
+    """(fpr, tpr, thresholds) sampled along the sorted sweep for curve
     artifacts (rocPC.npy parity; the exact AUC comes from roc_auc)."""
-    scores = scores.ravel().astype(jnp.float32)
-    labels = labels.ravel().astype(bool)
-    lo, hi = jnp.min(scores), jnp.max(scores)
-    ts = jnp.linspace(hi, lo, num_points)
-    P = jnp.sum(labels)
-    N = labels.size - P
-
-    def at_t(t):
-        pred = scores > t
-        tp = jnp.sum(pred & labels)
-        fp = jnp.sum(pred & ~labels)
-        return fp / N, tp / P
-
-    f, t = jax.vmap(at_t)(ts)
-    return {"fpr": f, "tpr": t, "thresholds": ts}
+    ts, tps, fps, P, N = _curve_samples(scores, labels, num_points)
+    return {"fpr": fps / N, "tpr": tps / P, "thresholds": ts}
 
 
 def prc_curve_points(scores: Array, labels: Array, num_points: int = 256
                      ) -> Dict[str, Array]:
-    scores = scores.ravel().astype(jnp.float32)
-    labels = labels.ravel().astype(bool)
-    lo, hi = jnp.min(scores), jnp.max(scores)
-    ts = jnp.linspace(hi, lo, num_points)
-    P = jnp.sum(labels)
-
-    def at_t(t):
-        pred = scores > t
-        tp = jnp.sum(pred & labels)
-        fp = jnp.sum(pred & ~labels)
-        return tp / jnp.maximum(tp + fp, 1), tp / P
-
-    prec, rec = jax.vmap(at_t)(ts)
-    return {"precisions": prec, "recalls": rec, "thresholds": ts}
+    ts, tps, fps, P, _ = _curve_samples(scores, labels, num_points)
+    prec = tps / jnp.maximum(tps + fps, 1.0)
+    return {"precisions": prec, "recalls": tps / P, "thresholds": ts}
 
 
 def best_dice_threshold(scores: Array, labels: Array) -> Tuple[Array, Array]:
