@@ -275,23 +275,33 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
     else:
         thresholded_p70 = thresholded
 
-    # global + per-patient metrics (:461-491)
+    # global + per-patient metrics (:461-491); lesion-detection chunks are
+    # batched across ALL patients into one vmapped dispatch
     eval_pc["DiceScore"] = float(M.dice(thresholded, labels))
     per_dice, per_prec, per_rec = [], [], []
-    tpcc = fpcc = fncc = 0
+    pred_chunks, gt_chunks, owners = [], [], []
     start = 0
-    for n_slices, patient in zip(eval_pc["slices_per_patient"], patients):
+    for p_idx, (n_slices, patient) in enumerate(
+            zip(eval_pc["slices_per_patient"], patients)):
         sl = slice(start, start + n_slices)
         pv = thresholded[sl]
         gv = labels[sl] > 0.5
         per_dice.append(float(M.dice(pv, gv)))
         per_prec.append(float(M.precision(pv, gv)))
         per_rec.append(float(M.recall(pv, gv)))
-        t, f, n = P.compute_detection_rate(thresholded_p70[sl], gv)
-        tpcc += int(t)
-        fpcc += int(f)
-        fncc += int(n)
+        pc = P.volume_to_chunks(thresholded_p70[sl])
+        gc = P.volume_to_chunks(gv.astype(jnp.float32))
+        pred_chunks.append(pc)
+        gt_chunks.append(gc)
+        owners.extend([p_idx] * pc.shape[0])
         start += n_slices
+    tpcc = fpcc = fncc = 0
+    if pred_chunks:
+        t, f, n = P.detection_counts_batch(
+            jnp.concatenate(pred_chunks), jnp.concatenate(gt_chunks))
+        tpcc = int(jnp.sum(t))
+        fpcc = int(jnp.sum(f))
+        fncc = int(jnp.sum(n))
     eval_pc.update(
         DiceScorePerPatient=per_dice,
         DiceScorePerPatientMean=float(np.mean(per_dice)) if per_dice else 0.0,

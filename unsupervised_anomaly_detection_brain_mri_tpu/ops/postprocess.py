@@ -160,6 +160,17 @@ def component_sizes(labels: Array) -> Array:
     return sizes.at[flat].add((flat > 0).astype(jnp.int32))
 
 
+def per_voxel_component_size(labels: Array) -> Array:
+    """Size of each voxel's component, scatter-free: sort the label volume
+    once, then count each label's run with two searchsorted lookups (TPU
+    scatters serialize; sort + binary search stays vectorised)."""
+    flat = labels.ravel()
+    sorted_l = jnp.sort(flat)
+    lo = jnp.searchsorted(sorted_l, flat, side="left")
+    hi = jnp.searchsorted(sorted_l, flat, side="right")
+    return (hi - lo).reshape(labels.shape)
+
+
 def num_components(labels: Array) -> Array:
     """Number of distinct components: count of root voxels whose label
     equals their own seed id."""
@@ -174,17 +185,18 @@ def filter_small_components(mask: Array, min_size: int = 7,
     (`Evaluation.py:113-127`).  mask: (S, H, W) -> float32 0/1."""
     m = mask.astype(bool)
     labels = connected_components_3d(m, max_iters)
-    sizes = component_sizes(labels)
-    keep = sizes[labels] > min_size
+    keep = per_voxel_component_size(labels) > min_size
     return (m & keep).astype(jnp.float32)
 
 
 def _labels_hit(labels: Array, hit_mask: Array) -> Array:
-    """Number of distinct non-zero labels present under hit_mask."""
+    """Number of distinct non-zero labels present under hit_mask —
+    scatter-free: sort the masked labels and count run transitions."""
     flat = jnp.where(hit_mask.ravel(), labels.ravel(), 0)
-    table = jnp.zeros((labels.size + 1,), jnp.int32)
-    table = table.at[flat].set(1)
-    return jnp.sum(table) - table[0]
+    sorted_l = jnp.sort(flat)
+    is_new = jnp.concatenate([
+        sorted_l[:1] > 0, (sorted_l[1:] != sorted_l[:-1]) & (sorted_l[1:] > 0)])
+    return jnp.sum(is_new)
 
 
 def detection_counts_chunk(pred: Array, gt: Array,
@@ -204,8 +216,7 @@ def detection_counts_chunk(pred: Array, gt: Array,
     tps = num_components(cc_inter)
 
     cc_pred = connected_components_3d(pred, max_iters)
-    sizes = component_sizes(cc_pred)
-    cc_pred = jnp.where(sizes[cc_pred] >= 8, cc_pred, 0)
+    cc_pred = jnp.where(per_voxel_component_size(cc_pred) >= 8, cc_pred, 0)
     n_pred = _labels_hit(cc_pred, cc_pred > 0)
     pred_hit = _labels_hit(cc_pred, inter)
     fps = n_pred - pred_hit
@@ -217,18 +228,27 @@ def detection_counts_chunk(pred: Array, gt: Array,
     return tps, fps, fns
 
 
+def volume_to_chunks(volume: Array, chunk: int = 20) -> Array:
+    """Split a (S, H, W) volume into zero-padded (n, chunk, H, W) chunks.
+    Zero padding adds no components, so detection counts are unchanged."""
+    S, H, W = volume.shape
+    n = -(-S // chunk)
+    padded = jnp.pad(volume.astype(jnp.float32),
+                     ((0, n * chunk - S), (0, 0), (0, 0)))
+    return padded.reshape(n, chunk, H, W)
+
+
+detection_counts_batch = jax.jit(jax.vmap(detection_counts_chunk))
+
+
 def compute_detection_rate(pred_volume: Array, gt_volume: Array,
                            chunk: int = 20) -> Tuple[Array, Array, Array]:
     """Lesion-detection TP/FP/FN over per-20-slice chunks
-    (`Evaluation.py:130-172`)."""
-    S = pred_volume.shape[0]
-    tps = fps = fns = jnp.int32(0)
-    for s0 in range(0, S, chunk):
-        s1 = min(s0 + chunk, S)
-        t, f, n = detection_counts_chunk(
-            pred_volume[s0:s1], gt_volume[s0:s1])
-        tps, fps, fns = tps + t, fps + f, fns + n
-    return tps, fps, fns
+    (`Evaluation.py:130-172`), batched over chunks in one dispatch."""
+    t, f, n = detection_counts_batch(
+        volume_to_chunks(pred_volume, chunk),
+        volume_to_chunks(gt_volume, chunk))
+    return jnp.sum(t), jnp.sum(f), jnp.sum(n)
 
 
 # ---------------------------------------------------------------------------
