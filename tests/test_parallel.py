@@ -126,3 +126,20 @@ def test_tensor_parallel_step(ctx8):
     step = jax.jit(tr._build_train_step())
     state, m = step(state, ctx.shard_batch({"x": jnp.asarray(x)}))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_mesh_reconstruct_shards_and_unpads(ctx8):
+    """reconstruct() under a mesh: uneven batch padded to the data axis,
+    result unpadded back."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.train import get_trainer
+
+    cfg = Config(trainer="AE", model="autoencoder", batchsize=8,
+                 outputWidth=32, outputHeight=32, zDim=16,
+                 compute_dtype="float32")
+    tr = get_trainer("AE")(cfg, mesh=ctx8)
+    state = tr.init_state()
+    x = np.random.default_rng(0).uniform(
+        0, 1, (11, 32, 32, 1)).astype(np.float32)  # 11 % 8 != 0
+    res = tr.reconstruct(state, x)
+    assert res["reconstruction"].shape == (11, 32, 32, 1)
+    assert np.isfinite(res["l1err"])

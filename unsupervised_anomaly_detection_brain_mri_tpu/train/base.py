@@ -431,7 +431,8 @@ class BaseTrainer:
                     rng: Optional[Array] = None) -> Dict[str, np.ndarray]:
         """Reconstruct a batch of slices; returns numpy dict with
         ``reconstruction``, ``l1err``, ``l2err`` (parity:
-        `trainers/AE.py:92-110`)."""
+        `trainers/AE.py:92-110`).  Under a mesh, the slice batch is sharded
+        over the 'data' axis (multi-chip evaluation)."""
         if x.ndim < 4:
             x = x[None]
         rng = rng if rng is not None else jax.random.key(0)
@@ -443,7 +444,20 @@ class BaseTrainer:
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        out = self._reconstruct_jit[key](variables, jnp.asarray(x), rng)
+        n_orig = x.shape[0]
+        xin = jnp.asarray(x)
+        if self.mesh is not None and self.mesh.n_data > 1:
+            from unsupervised_anomaly_detection_brain_mri_tpu.parallel.mesh import (
+                pad_batch_to,
+            )
+
+            xin = jnp.asarray(pad_batch_to(np.asarray(x), self.mesh.n_data))
+            xin = jax.device_put(xin, self.mesh.batch_sharding())
+        out = self._reconstruct_jit[key](variables, xin, rng)
+        if out["reconstruction"].shape[0] != n_orig:
+            out = {k: v[:n_orig] if hasattr(v, "shape") and v.shape
+                   and v.shape[0] == xin.shape[0] else v
+                   for k, v in out.items()}
         rec = np.asarray(out["reconstruction"], np.float32)
         res = {k: np.asarray(v) for k, v in out.items()}
         res["l1err"] = float(np.sum(np.abs(x - rec)))
