@@ -52,3 +52,15 @@ def test_deterministic_epoch_order():
     c = epoch_indices(np.random.default_rng((43, 6)), 100, 8)
     np.testing.assert_array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+def test_optimizer_variants_train(synth_dataset):
+    """SGD / MOMENTUM / RMS optimizer types (`trainers/DLMODEL.py:112-131`)."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.config import Optimizer
+
+    for opt in (Optimizer.SGD, Optimizer.MOMENTUM, Optimizer.RMSPROP):
+        tr = get_trainer("AE")(_cfg("AE", "autoencoder", optimizer=opt,
+                                    learningrate=1e-3))
+        tr.fit(synth_dataset)
+        assert np.isfinite(
+            [h for h in tr.history if h["phase"] == "TRAIN"][0]["loss"])

@@ -19,7 +19,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 from unsupervised_anomaly_detection_brain_mri_tpu.config import (
     Config,

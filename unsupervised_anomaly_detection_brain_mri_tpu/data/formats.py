@@ -22,7 +22,7 @@ import gzip
 import io
 import os
 import struct
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 

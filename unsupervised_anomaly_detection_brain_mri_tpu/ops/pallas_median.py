@@ -22,7 +22,6 @@ median; with iters=32 on [0,1] data this is exact at float32 resolution
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

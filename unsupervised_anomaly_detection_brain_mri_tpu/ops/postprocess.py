@@ -19,7 +19,6 @@ components converge in O(component diameter) sweeps.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -8,8 +8,7 @@ across slices) and `jax.distributed.initialize` for multi-host runs.
 
 from __future__ import annotations
 
-import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

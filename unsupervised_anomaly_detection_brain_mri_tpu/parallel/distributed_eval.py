@@ -13,7 +13,6 @@ single-device path, so the sharded result is bit-identical to
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

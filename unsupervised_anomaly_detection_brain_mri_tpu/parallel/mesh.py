@@ -78,6 +78,19 @@ def make_mesh(config: Optional[MeshConfig] = None,
     return MeshContext(mesh=Mesh(devs, (DATA_AXIS, MODEL_AXIS)))
 
 
+def global_batch_from_local(ctx: MeshContext, local_batch: Any) -> Any:
+    """Assemble a globally-sharded batch from per-process (per-host) local
+    data — the multi-host input path: each host loads its own slice shard
+    and the global array is stitched along the batch axis
+    (`jax.make_array_from_process_local_data`).  On a single process this
+    is equivalent to ``shard_batch``."""
+    sharding = ctx.batch_sharding()
+    return jax.tree_util.tree_map(
+        lambda a: jax.make_array_from_process_local_data(
+            sharding, np.asarray(a)),
+        local_batch)
+
+
 def pad_batch_to(batch: np.ndarray, multiple: int) -> np.ndarray:
     """Pad the batch axis up to a multiple (for even sharding)."""
     b = batch.shape[0]

@@ -23,7 +23,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax

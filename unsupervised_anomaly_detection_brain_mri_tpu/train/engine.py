@@ -15,7 +15,6 @@ gradient all-reduces (see `parallel/mesh.py`).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -18,7 +18,7 @@ Early stopping monitors ``reconstructionLoss`` (`trainers/AAE.py:161`).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

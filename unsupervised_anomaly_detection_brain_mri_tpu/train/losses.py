@@ -9,9 +9,8 @@ Conventions: images are NHWC float32; latent vectors are (B, Z).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
-import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray

@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 from unsupervised_anomaly_detection_brain_mri_tpu.config import Config, Optimizer
 

@@ -9,7 +9,7 @@ L1 residual) capped at 50 rows like `trainers/AEMODEL.py:40`.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
