@@ -1,0 +1,39 @@
+"""Serving API test: workdir round trip -> volume inference."""
+
+import tempfile
+
+import numpy as np
+
+from unsupervised_anomaly_detection_brain_mri_tpu.config import Config, Options
+from unsupervised_anomaly_detection_brain_mri_tpu.eval.inference import (
+    AnomalyDetector,
+)
+from unsupervised_anomaly_detection_brain_mri_tpu.train import get_trainer
+
+
+def test_detector_from_workdir(synth_dataset, synth_lesion_dataset):
+    wd = tempfile.mkdtemp()
+    cfg = Config(trainer="AE", model="autoencoder", batchsize=8,
+                 outputWidth=32, outputHeight=32, zDim=16, numEpochs=2,
+                 compute_dtype="float32")
+    tr = get_trainer("AE")(cfg, workdir=wd)
+    tr.fit(synth_dataset)
+
+    det = AnomalyDetector.from_workdir(
+        wd, threshold=0.5,
+        options=Options(erosionIterations=1, minLesionSize=2))
+    patient = synth_lesion_dataset.patients_of("TEST")[0]
+    vol, gt, brain, skull = synth_lesion_dataset.load_volume_and_groundtruth(
+        patient)
+    res = det.detect(vol, brainmask=brain)
+    S = vol.shape[2]
+    assert res["anomaly_map"].shape == (S, 32, 32)
+    assert res["scores"].shape == (S,)
+    assert res["mask"].shape == (S, 32, 32)
+    assert np.isfinite(res["anomaly_map"]).all()
+    assert res["anomalous_voxels"] >= 0
+    # lesioned slices should score higher than clean ones on average
+    lesion_slices = gt.sum(axis=(0, 1)) > 0
+    if lesion_slices.any() and (~lesion_slices).any():
+        assert (res["scores"][lesion_slices].mean()
+                >= res["scores"][~lesion_slices].mean() * 0.5)
