@@ -168,6 +168,10 @@ class BaseDataset:
         raw = json.dumps({
             "name": self.name, "partition": o.partition,
             "useCrops": o.useCrops, "cropType": o.cropType,
+            "cropSize": [o.cropHeight, o.cropWidth],
+            "cropsPerSlice": o.numRandomCropsPerSlice,
+            "lesionPatches": o.onlyPatchesWithLesions,
+            "cropSeed": o.seed,
             "res": o.sliceResolution, "skull": o.skullRemoval,
             "strip": o.skullStripping, "bg": o.backgroundRemoval,
             "norm": o.normalizationMethod, "axis": o.axis,

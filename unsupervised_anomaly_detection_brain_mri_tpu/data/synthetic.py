@@ -36,6 +36,12 @@ class SyntheticOptions:
     sliceStart: int = 0
     sliceEnd: int = 10_000
 
+    def __post_init__(self) -> None:
+        # clamp the whole-volume sentinel so the eval pipeline's
+        # shape-sanity skip (`utils/Evaluation.py:207-209`) sees a real
+        # slice range
+        self.sliceEnd = min(self.sliceEnd, self.numSlices)
+
 
 def _ellipsoid_mask(shape: Tuple[int, int, int], center, radii) -> np.ndarray:
     H, W, D = shape

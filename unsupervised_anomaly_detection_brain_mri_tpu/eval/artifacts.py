@@ -75,10 +75,19 @@ def plot_histogram_with_labels(values: np.ndarray, labels: np.ndarray,
     values = values.ravel()
     labels = labels.ravel() > 0.5
     fig = plt.figure()
+    plotted = False
     for name, sel in (("healthy", ~labels), ("lesion", labels)):
-        plt.hist(values[sel], bins=50 if bins == "auto" else bins,
+        vals = values[sel]
+        # guard: an empty class (or one entirely outside the range) makes
+        # density normalisation divide by zero -> NaN warnings
+        if vals.size == 0 or not np.any(
+                (vals >= value_range[0]) & (vals <= value_range[1])):
+            continue
+        plt.hist(vals, bins=50 if bins == "auto" else bins,
                  range=value_range, alpha=0.5, label=name, density=True)
-    plt.legend()
+        plotted = True
+    if plotted:
+        plt.legend()
     plt.title(title)
     if export_pdf:
         fig.savefig(export_pdf)

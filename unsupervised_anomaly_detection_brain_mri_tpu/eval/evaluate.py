@@ -56,47 +56,67 @@ def _zoom_volume(vol: np.ndarray, target: Tuple[int, int],
 
 
 def _reconstruct_volume(trainer, state, x: np.ndarray, options: Options,
-                        rng: jax.Array) -> Dict[str, np.ndarray]:
+                        rng: jax.Array, eroded: np.ndarray
+                        ) -> Dict[str, np.ndarray]:
     """Reconstruct all slices of one volume, with optional MC dropout.
 
-    x: (S, H, W, 1).  Returns reconstruction (mean if MC), per-slice l1/l2
-    errors, and epistemic variance when MC sampling is on (:238-272).
+    x: (S, H, W, 1); eroded: (S, H, W) eroded-brainmask floats.  Parity
+    (:246-272): every MC reconstruction is MASKED by the eroded brainmask
+    BEFORE uncertainty combination, the exported mean reconstruction is the
+    mean of the masked samples, and ``log_var`` model outputs (aleatoric
+    heads) feed the combined predictive variance — passed through raw
+    exactly as the reference does (``log_var=False`` at :265).
     """
     mc = int(options.numMonteCarloSamples or 0)
+    mask = eroded[..., None].astype(np.float32)
     if mc > 1:
-        recs = []
+        recs, log_vars = [], []
         for i in range(mc):
             r = trainer.reconstruct(state, x, dropout=True,
                                     rng=jax.random.fold_in(rng, i))
-            recs.append(r["reconstruction"])
+            recs.append(np.asarray(r["reconstruction"]) * mask)
+            if "log_var" in r:
+                log_vars.append(np.asarray(r["log_var"]))
         recs = np.stack(recs, axis=0)
-        rec_mean = recs.mean(axis=0)
+        sigmas = (np.stack(log_vars, axis=0) if log_vars
+                  else np.zeros_like(recs))
+        rec = recs.mean(axis=0)
         epistemic = np.asarray(M.combined_predictive_uncertainty(
             jnp.asarray(recs), jnp.zeros_like(jnp.asarray(recs)), axis=0))
-        rec = rec_mean
+        combined = np.asarray(M.combined_predictive_uncertainty(
+            jnp.asarray(recs), jnp.asarray(sigmas), axis=0)) * mask
+        log_var_mean = sigmas.mean(axis=0) if log_vars else None
     else:
         r = trainer.reconstruct(state, x, dropout=False, rng=rng)
-        rec = r["reconstruction"]
-        epistemic = None
+        rec = np.asarray(r["reconstruction"])
+        epistemic = combined = None
+        log_var_mean = (np.asarray(r["log_var"])
+                        if "log_var" in r else None)
     l1 = np.sum(np.abs(x - rec), axis=(1, 2, 3))
     l2 = np.sum(np.sqrt((x - rec) ** 2), axis=(1, 2, 3))
     return {"reconstruction": rec, "epistemic": epistemic,
+            "combined": combined, "log_var": log_var_mean,
             "l1": l1, "l2": l2}
 
 
-def _postprocess_jit(erosion_iters: int):
-    """Jitted residual pipeline: residual -> eroded brainmask -> prior ->
-    median filter (:282-312).  Erosion iterations are compile-time (the
-    reference used 12 at 128x128; smaller images need fewer)."""
-
+def _erode_jit(erosion_iters: int):
     @jax.jit
-    def fn(x, rec, skullmap, prior_q, keep_pos, erode, use_prior,
-           use_median):
-        diff = jnp.where(keep_pos, jnp.maximum(x - rec, 0.0),
-                         jnp.abs(x - rec))
-        eroded = jnp.where(
+    def fn(skullmap, erode):
+        return jnp.where(
             erode, P.binary_erosion_2d(skullmap, erosion_iters),
             skullmap.astype(bool))
+
+    return fn
+
+
+def _postprocess_jit():
+    """Jitted residual pipeline: residual -> eroded brainmask -> prior ->
+    median filter (:282-312)."""
+
+    @jax.jit
+    def fn(x, rec, eroded, prior_q, keep_pos, use_prior, use_median):
+        diff = jnp.where(keep_pos, jnp.maximum(x - rec, 0.0),
+                         jnp.abs(x - rec))
         diff = diff * eroded.astype(diff.dtype)
         diff = jnp.where(use_prior & (x < prior_q), 0.0, diff)
         from unsupervised_anomaly_detection_brain_mri_tpu.ops.pallas_median import (
@@ -112,15 +132,23 @@ def _postprocess_jit(erosion_iters: int):
 _POSTPROCESS_CACHE: Dict[Tuple, Any] = {}
 
 
-def _postprocess(x, rec, skullmap, prior_q, options: Options):
-    key = int(options.erosionIterations)
+def _eroded_mask(skullmap, options: Options) -> jnp.ndarray:
+    """Eroded brainmask (12 binary-erosion iterations at 128x128,
+    `Evaluation.py:84-89`); erosion iterations are compile-time."""
+    key = ("erode", int(options.erosionIterations))
     if key not in _POSTPROCESS_CACHE:
-        _POSTPROCESS_CACHE[key] = _postprocess_jit(key)
+        _POSTPROCESS_CACHE[key] = _erode_jit(int(options.erosionIterations))
     return _POSTPROCESS_CACHE[key](
-        jnp.asarray(x), jnp.asarray(rec), jnp.asarray(skullmap),
+        jnp.asarray(skullmap), jnp.bool_(options.erodeBrainmask))
+
+
+def _postprocess(x, rec, eroded, prior_q, options: Options):
+    if "pipeline" not in _POSTPROCESS_CACHE:
+        _POSTPROCESS_CACHE["pipeline"] = _postprocess_jit()
+    return _POSTPROCESS_CACHE["pipeline"](
+        jnp.asarray(x), jnp.asarray(rec), jnp.asarray(eroded),
         jnp.float32(prior_q),
         jnp.bool_(options.keepOnlyPositiveResiduals),
-        jnp.bool_(options.erodeBrainmask),
         jnp.bool_(options.applyHyperIntensityPrior),
         jnp.bool_(options.medianFiltering))
 
@@ -133,13 +161,22 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
     print(f"Testing {len(patients)} patients...")
 
     xs, recs, diffs, labelmaps = [], [], [], []
-    l1s, l2s, times, epistemics = [], [], [], []
+    l1s, l2s, times, epistemics, combineds = [], [], [], [], []
     target = (config.outputHeight, config.outputWidth)
     rng = jax.random.key(config.seed + 7)
+    slice_span = (getattr(dataset.options, "sliceEnd", 0)
+                  - getattr(dataset.options, "sliceStart", 0))
+    skipped: set = set()
 
     for p, patient in enumerate(patients):
         vol, gt, brainmask, skullmap = dataset.load_volume_and_groundtruth(
             patient)
+        # shape sanity: skip badly-coregistered volumes (:207-209)
+        if slice_span > 0 and min(vol.shape) < slice_span:
+            print(f"Skipping patient {patient.get('name', p)}: shape "
+                  f"{vol.shape} smaller than slice range {slice_span}")
+            skipped.add(p)
+            continue
         s0 = getattr(dataset.options, "sliceStart", 0)
         s1 = min(getattr(dataset.options, "sliceEnd", vol.shape[2]),
                  vol.shape[2])
@@ -149,14 +186,15 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
         seg = (seg > 0.5).astype(np.float32)
         skm = (skm > 0.5).astype(np.float32)
         prior_q = float(np.quantile(vol, 0.9))
+        eroded = np.asarray(_eroded_mask(skm, options))
 
         t0 = time.time()
         res = _reconstruct_volume(trainer, state, x[..., None], options,
-                                  jax.random.fold_in(rng, p))
+                                  jax.random.fold_in(rng, p), eroded)
         times.append((time.time() - t0) / max(len(x), 1))
         rec = res["reconstruction"][..., 0]
 
-        diff = np.asarray(_postprocess(x, rec, skm, prior_q, options))
+        diff = np.asarray(_postprocess(x, rec, eroded, prior_q, options))
 
         xs.append(x)
         recs.append(rec)
@@ -166,6 +204,7 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
         l2s.extend(res["l2"].tolist())
         if res["epistemic"] is not None:
             epistemics.append(res["epistemic"][..., 0])
+            combineds.append(res["combined"][..., 0])
 
     eval_dict = {
         "x": np.concatenate(xs) if xs else np.zeros((0,) + target),
@@ -184,7 +223,10 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
     }
     if epistemics:
         eval_dict["epistemic_variance"] = np.concatenate(epistemics)
-    return eval_dict, patients
+        # combined aleatoric+epistemic variance (x_recs_var, :265-270)
+        eval_dict["combined_variance"] = np.concatenate(combineds)
+    kept = [pt for p, pt in enumerate(patients) if p not in skipped]
+    return eval_dict, kept
 
 
 def evaluate(dataset, trainer, state, options: Options, config: Config,
@@ -265,11 +307,15 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
     thresholded = P.filter_small_components(
         diffs > threshold, options.minLesionSize)
 
-    # precision-70 operating point for detection counts (:425-440)
-    if options.computePRC:
-        prec = prc["precisions"]
-        idx70 = int(np.argmax(prec <= 0.7))
-        t70 = float(prc["thresholds"][idx70])
+    # precision-70 operating point for detection counts (:425-440).
+    # Reference quirk preserved (:459-461): with a NUMERIC threshold the
+    # detection counts reuse the fixed-threshold volume, UNFILTERED (the
+    # reassignment happens before the CC filter is applied).
+    if options.threshold is not None:
+        thresholded_p70 = diffs > threshold
+    elif options.computePRC:
+        t70 = float(summary["precision70_threshold"])
+        eval_pc["precision70Threshold"] = t70
         thresholded_p70 = P.filter_small_components(
             diffs > t70, options.minLesionSize)
     else:
@@ -302,15 +348,18 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
         tpcc = int(jnp.sum(t))
         fpcc = int(jnp.sum(f))
         fncc = int(jnp.sum(n))
+    _finite_prec = [p for p in per_prec if np.isfinite(p)]
     eval_pc.update(
         DiceScorePerPatient=per_dice,
         DiceScorePerPatientMean=float(np.mean(per_dice)) if per_dice else 0.0,
         DiceScorePerPatientStd=float(np.std(per_dice)) if per_dice else 0.0,
         PrecisionPerPatient=per_prec,
-        PrecisionPerPatientMean=(float(np.nanmean(per_prec))
-                                 if per_prec else 0.0),
-        PrecisionPerPatientStd=(float(np.nanstd(per_prec))
-                                if per_prec else 0.0),
+        # NaN precisions (0/0: patient with an empty prediction) are
+        # excluded from the aggregate instead of warning through nanmean
+        PrecisionPerPatientMean=(float(np.mean(_finite_prec))
+                                 if _finite_prec else 0.0),
+        PrecisionPerPatientStd=(float(np.std(_finite_prec))
+                                if _finite_prec else 0.0),
         RecallPerPatient=per_rec,
         RecallPerPatientMean=float(np.mean(per_rec)) if per_rec else 0.0,
         RecallPerPatientStd=float(np.std(per_rec)) if per_rec else 0.0,
@@ -325,11 +374,14 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
     eval_pc["PrecisionCC"] = tpcc / (tpcc + fpcc) if (tpcc + fpcc) > 0 else 0.0
 
     if options.exportPNGs:
+        # the variance heatmap PNGs use the COMBINED predictive variance
+        # (x_recs_var, `Evaluation.py:308-309`), not the epistemic-only map
         artifacts.export_slice_images(
             sample_dir, eval_pc["x"], eval_pc["reconstructions"],
             eval_pc["diffs"], eval_pc["labelmaps"],
             np.asarray(thresholded),
-            epistemic=eval_pc.get("epistemic_variance"))
+            epistemic=eval_pc.get("combined_variance",
+                                  eval_pc.get("epistemic_variance")))
 
     if options.exportVolumes:
         # residual-volume NIfTI export (+ binary at the operating point),
@@ -355,7 +407,8 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
     export = {k: v for k, v in eval_pc.items()
               if k not in ("x", "diffs", "labelmaps", "reconstructions",
                            "l1reconstructionErrors",
-                           "l2reconstructionErrors", "epistemic_variance")}
+                           "l2reconstructionErrors", "epistemic_variance",
+                           "combined_variance")}
     np.save(os.path.join(eval_dir, "evalPC.npy"), export)  # type: ignore
     with open(os.path.join(eval_dir, "evalPC.txt"), "w") as f:
         f.write(str(export))
@@ -379,12 +432,23 @@ def determine_threshold_on_labeled_patients(
         options.paths.sample_dir, config.model,
         config.model_dir("val"), f"eval-{epoch}-{ts}")
     sample_dir = os.path.join(eval_dir, "samples_val_PC")
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval import artifacts
+
     for ds in datasets:
         ed, _ = _evaluate(ds, trainer, state, sample_dir, options, config,
                           split="VAL")
         if ed["diffs"] is not None and len(ed["diffs"]):
             all_diffs.append(ed["diffs"])
             all_labels.append(ed["labelmaps"])
+            if options.exportPNGs:
+                # the reference's threshold-fitting pass dumps the same
+                # per-slice PNG artifacts as the TEST pass
+                # (`Evaluation.py:529-567` -> `:302-321`)
+                artifacts.export_slice_images(
+                    sample_dir, ed["x"], ed["reconstructions"], ed["diffs"],
+                    ed["labelmaps"], np.zeros_like(ed["diffs"]),
+                    epistemic=ed.get("combined_variance",
+                                     ed.get("epistemic_variance")))
     diffs = jnp.asarray(np.concatenate(all_diffs))
     labels = jnp.asarray(np.concatenate(all_labels)) > 0.5
     best_dice, best_thresh = M.best_dice_threshold(

@@ -129,6 +129,39 @@ def _average_precision_from_counts(s, tps, fps, distinct) -> Array:
     return jnp.sum(seg)
 
 
+def _precision_at_threshold_from_counts(s, tps, fps, distinct,
+                                        target: float = 0.7) -> Array:
+    """Exact sklearn-parity precision-``target`` operating threshold.
+
+    Reproduces `utils/Evaluation.py:425-440`: the reference ran
+    ``np.argmax(precisions <= 0.7)`` over sklearn's
+    ``precision_recall_curve`` output (ascending-threshold order, truncated
+    at the first full-recall point) and indexed ``thresholds`` with it.
+    In this descending-score sweep, sklearn's curve corresponds to the
+    distinct group-end positions with index <= the first full-recall group
+    end; ascending-threshold index 0 is that full-recall position and the
+    argmax picks the LOWEST threshold whose precision is <= target (falling
+    back to index 0 — the full-recall threshold — when none is, matching
+    numpy argmax-of-all-False semantics).
+    """
+    P = tps[-1]
+    n = s.shape[0]
+    prec = tps / jnp.maximum(tps + fps, 1.0)
+    full = distinct & (tps >= P)
+    last_pos = jnp.argmax(full)  # first distinct position with full recall
+    included = distinct & (jnp.arange(n) <= last_pos)
+    ok = included & (prec <= target)
+    j = jnp.where(jnp.any(ok), (n - 1) - jnp.argmax(ok[::-1]), last_pos)
+    return s[j]
+
+
+def precision70_threshold(scores: Array, labels: Array,
+                          target: float = 0.7) -> Array:
+    """Threshold at the precision<=target operating point (exact sweep)."""
+    s, tps, fps, distinct = _sorted_counts(scores, labels)
+    return _precision_at_threshold_from_counts(s, tps, fps, distinct, target)
+
+
 def roc_auc(scores: Array, labels: Array) -> Array:
     """Exact AUROC with sklearn tie handling (`Metrics.py:45-64`)."""
     return _roc_auc_from_counts(*_sorted_counts(scores, labels))
@@ -159,6 +192,8 @@ def anomaly_curve_summary(scores: Array, labels: Array,
         "ap": _average_precision_from_counts(s, tps, fps, distinct),
         "best_dice": dice_v[i],
         "best_threshold": nxt,
+        "precision70_threshold": _precision_at_threshold_from_counts(
+            s, tps, fps, distinct),
         "roc": {"fpr": fps[pos] / fps[-1], "tpr": tps[pos] / P,
                 "thresholds": s[pos]},
         "prc": {"precisions": tps[pos] / jnp.maximum(tps[pos] + fps[pos],

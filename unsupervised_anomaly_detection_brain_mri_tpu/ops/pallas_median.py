@@ -116,7 +116,7 @@ def median_filter_3d_pallas(vol: Array, kernel: int = 5, cs: int = 2,
     out = pl.pallas_call(
         _median_kernel(kernel, cs, H, W, iters),
         grid=(n_chunks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((cs, H, W), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S_pad, H, W), jnp.float32),

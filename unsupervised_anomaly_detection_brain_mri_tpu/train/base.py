@@ -117,8 +117,8 @@ class BaseTrainer:
         return {**batch, "x": batch["x"] + noise}
 
     def apply_model(self, params: Any, batch_stats: Any, rng: Array,
-                    batch: Batch, train: bool, dropout: Optional[bool] = None
-                    ) -> Tuple[Dict[str, Array], Any]:
+                    batch: Batch, train: bool, dropout: Optional[bool] = None,
+                    return_inputs: bool = False):
         dropout = train if dropout is None else dropout
         in_rng, call_rng = jax.random.split(rng)
         batch = self.maybe_add_instance_noise(batch, in_rng, train)
@@ -132,8 +132,12 @@ class BaseTrainer:
             rngs=self._rng_streams(call_rng), mutable=mutable, **kwargs)
         if mutable:
             outputs, mutated = out
-            return outputs, mutated.get("batch_stats", batch_stats)
-        return out, batch_stats
+            new_bs = mutated.get("batch_stats", batch_stats)
+        else:
+            outputs, new_bs = out, batch_stats
+        if return_inputs:
+            return outputs, new_bs, args
+        return outputs, new_bs
 
     # ------------------------------------------------------------------
     # hooks
@@ -144,6 +148,14 @@ class BaseTrainer:
     def compute_losses(self, outputs: Dict[str, Array], batch: Batch
                        ) -> Dict[str, Array]:
         raise NotImplementedError
+
+    def compute_losses_with_inputs(self, outputs: Dict[str, Array],
+                                   batch: Batch, inputs: tuple
+                                   ) -> Dict[str, Array]:
+        """Loss hook that additionally sees the positional args fed to the
+        model (so dual-input trainers like ceVAE can target the actual
+        — possibly masked — network input).  Defaults to compute_losses."""
+        return self.compute_losses(outputs, batch)
 
     def metric_keys(self) -> Tuple[str, ...]:
         """Which loss entries are logged (0-dim scalars only)."""
@@ -163,9 +175,11 @@ class BaseTrainer:
             rng, sub = jax.random.split(state.rng)
 
             def loss_fn(params):
-                outputs, new_bs = self.apply_model(
-                    params, state.batch_stats, sub, batch, train=True)
-                losses = self.compute_losses(outputs, batch)
+                outputs, new_bs, inputs = self.apply_model(
+                    params, state.batch_stats, sub, batch, train=True,
+                    return_inputs=True)
+                losses = self.compute_losses_with_inputs(
+                    outputs, batch, inputs)
                 return losses["loss"], (losses, new_bs)
 
             (_, (losses, new_bs)), grads = jax.value_and_grad(
@@ -184,9 +198,10 @@ class BaseTrainer:
     def _build_val_step(self, **static: Any):
         def step(state: TrainState, batch: Batch):
             rng, sub = jax.random.split(state.rng)
-            outputs, _ = self.apply_model(
-                state.params, state.batch_stats, sub, batch, train=False)
-            losses = self.compute_losses(outputs, batch)
+            outputs, _, inputs = self.apply_model(
+                state.params, state.batch_stats, sub, batch, train=False,
+                return_inputs=True)
+            losses = self.compute_losses_with_inputs(outputs, batch, inputs)
             return state.replace(rng=rng), self._scalar_metrics(losses)
 
         return step
@@ -265,10 +280,25 @@ class BaseTrainer:
             jax.config.update("jax_debug_nans", True)
         state = state if state is not None else self.init_state()
         start_epoch = 0
+        best_cost, last_improvement = float("inf"), 0
         if resume and self.workdir:
             restored = self.load_checkpoint(state)
             if restored is not None:
                 state, start_epoch = restored
+                # replay the VAL history so early-stopping counters survive
+                # resume (parity: the reference restarts them, but the
+                # deterministic-resume guarantee here extends to them)
+                curves = os.path.join(self.workdir, "curves.json")
+                if os.path.isfile(curves):
+                    with open(curves) as f:
+                        self.history = json.load(f)
+                for h in self.history:
+                    if (h.get("phase") == "VAL"
+                            and h.get("epoch", 1 << 30) < start_epoch):
+                        best_cost, last_improvement, _ = early_stopping_update(
+                            h.get(self.early_stop_metric, float("inf")),
+                            best_cost, last_improvement,
+                            c.earlyStoppingPatience)
 
         train_pool = self._pool_from_dataset(dataset, "TRAIN")
         val_pool = self._pool_from_dataset(dataset, "VAL")
@@ -277,7 +307,6 @@ class BaseTrainer:
                 "training split is empty — check the dataset partition and "
                 "slice range (sliceStart/sliceEnd vs volume depth)")
         n_train = int(train_pool["x"].shape[0])
-        best_cost, last_improvement = float("inf"), 0
 
         for epoch in range(start_epoch, self.num_epochs()):
             t0 = time.time()
@@ -305,16 +334,17 @@ class BaseTrainer:
             metrics = {k: float(v) for k, v in metrics.items()}
             dt = time.time() - t0
             sps = idxs.size / max(dt, 1e-9)
-            print(f"Epoch (train): [{epoch:3d}] "
+            tag = self.phase_tag(epoch)
+            label = "TRAIN" if tag == "TRAIN" else tag
+            print(f"Epoch (train{'' if tag == 'TRAIN' else ' ' + tag}): "
+                  f"[{epoch:3d}] "
                   + " ".join(f"{k}: {v:.6f}" for k, v in sorted(metrics.items()))
                   + f" ({sps:,.0f} slices/s)")
-            self.history.append({"epoch": epoch, "phase": "TRAIN", **metrics})
+            self.history.append({"epoch": epoch, "phase": label, **metrics})
             self.log_epoch(epoch, "TRAIN", metrics, state, train_pool)
 
-            if self.workdir and (epoch + 1) % c.snapshotEveryEpochs == 0:
-                self.save_checkpoint(state, epoch + 1)
-
-            if val_pool is not None:
+            stop = False
+            if val_pool is not None and self.validation_enabled(epoch):
                 vidx = epoch_indices(host_rng, int(val_pool["x"].shape[0]),
                                      c.batchsize, shuffle=False)
                 if vidx.size:
@@ -333,11 +363,18 @@ class BaseTrainer:
                             vmetrics.get(self.early_stop_metric,
                                          float("inf")), best_cost,
                             last_improvement, c.earlyStoppingPatience)
-                        if stop:
-                            print("Early stopping was triggered due to no "
-                                  f"improvement over the last "
-                                  f"{c.earlyStoppingPatience} epochs")
-                            break
+
+            # checkpoint AFTER the VAL pass (the reference saved before it,
+            # `trainers/AE.py:46-52`): the saved rng is then exactly the
+            # stream the next epoch starts from, so killed-and-resumed runs
+            # reproduce uninterrupted ones bitwise
+            if self.workdir and (epoch + 1) % c.snapshotEveryEpochs == 0:
+                self.save_checkpoint(state, epoch + 1)
+            if stop:
+                print("Early stopping was triggered due to no "
+                      f"improvement over the last "
+                      f"{c.earlyStoppingPatience} epochs")
+                break
 
         self.post_fit(dataset, state)
         return state
@@ -362,6 +399,15 @@ class BaseTrainer:
     def early_stopping_enabled(self) -> bool:
         return True
 
+    def validation_enabled(self, epoch: int) -> bool:
+        """Whether to run the VAL pass this epoch (fAnoGAN disables it
+        during its WGAN phase, parity: `trainers/fAnoGAN.py:87-140`)."""
+        return True
+
+    def phase_tag(self, epoch: int) -> str:
+        """History/print label for the training phase of this epoch."""
+        return "TRAIN"
+
     def post_fit(self, dataset, state: TrainState) -> None:
         """Hook after training (e.g. VAE_You lambda sweep)."""
 
@@ -379,9 +425,17 @@ class BaseTrainer:
     def save_checkpoint(self, state: TrainState, epoch: int) -> None:
         import orbax.checkpoint as ocp
         mngr = self._ckpt_manager()
-        mngr.save(epoch, args=ocp.args.StandardSave(
-            jax.tree_util.tree_map(np.asarray, (
-                state.params, state.batch_stats, state.opt_states))))
+        payload = jax.tree_util.tree_map(np.asarray, {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_states": state.opt_states,
+            # full determinism across resume: the on-device rng stream
+            # (dropout/sampling noise) and the global step are part of the
+            # checkpoint, not just params (ADVICE r1)
+            "rng": jax.random.key_data(state.rng),
+            "step": state.step,
+        })
+        mngr.save(epoch, args=ocp.args.StandardSave(payload))
         mngr.wait_until_finished()
         with open(os.path.join(self.workdir, "config.json"), "w") as f:
             f.write(self.config.to_json())
@@ -398,15 +452,34 @@ class BaseTrainer:
         step = mngr.latest_step()
         if step is None:
             return None
-        target = jax.tree_util.tree_map(
-            np.asarray, (template.params, template.batch_stats,
-                         template.opt_states))
-        params, batch_stats, opt_states = mngr.restore(
-            step, args=ocp.args.StandardRestore(target))
+        target = jax.tree_util.tree_map(np.asarray, {
+            "params": template.params,
+            "batch_stats": template.batch_stats,
+            "opt_states": template.opt_states,
+            "rng": jax.random.key_data(template.rng),
+            "step": template.step,
+        })
+        try:
+            restored = mngr.restore(step, args=ocp.args.StandardRestore(target))
+        except Exception:
+            # legacy (round-1) 3-tuple checkpoints without rng/step
+            legacy = jax.tree_util.tree_map(
+                np.asarray, (template.params, template.batch_stats,
+                             template.opt_states))
+            params, batch_stats, opt_states = mngr.restore(
+                step, args=ocp.args.StandardRestore(legacy))
+            restored = {"params": params, "batch_stats": batch_stats,
+                        "opt_states": opt_states,
+                        "rng": np.asarray(jax.random.key_data(template.rng)),
+                        "step": np.asarray(step, np.int32)}
         state = template.replace(
-            params=jax.tree_util.tree_map(jnp.asarray, params),
-            batch_stats=jax.tree_util.tree_map(jnp.asarray, batch_stats),
-            opt_states=jax.tree_util.tree_map(jnp.asarray, opt_states),
+            params=jax.tree_util.tree_map(jnp.asarray, restored["params"]),
+            batch_stats=jax.tree_util.tree_map(
+                jnp.asarray, restored["batch_stats"]),
+            opt_states=jax.tree_util.tree_map(
+                jnp.asarray, restored["opt_states"]),
+            rng=jax.random.wrap_key_data(jnp.asarray(restored["rng"])),
+            step=jnp.asarray(restored["step"], jnp.int32),
             epoch=jnp.asarray(step, jnp.int32))
         print(f"Restored checkpoint at epoch {step}")
         return state, int(step)
@@ -600,12 +673,14 @@ class CeVAE(BaseTrainer):
             x_ce = x
         return (x, x_ce), {}
 
+    def compute_losses_with_inputs(self, outputs, batch, inputs):
+        # Parity (`trainers/ceVAE.py:40`): L1_ce compares x_hat_ce against
+        # the x_ce placeholder — the MASKED input during TRAIN, the clean
+        # image during VAL/eval.  ``inputs`` is the (x, x_ce) tuple that the
+        # model was actually called with.
+        return L.cevae_loss(batch["x"], inputs[1], outputs)
+
     def compute_losses(self, outputs, batch):
-        # VAL/TRAIN parity quirk: the CE branch loss compares against the
-        # *unmasked* image (the reference feeds x_ce and computes L1_ce
-        # against the x_ce placeholder, which holds the masked image during
-        # TRAIN and the clean image during VAL; our train step compares the
-        # reconstruction of the masked input to the masked input).
         return L.cevae_loss(batch["x"], batch["x"], outputs)
 
     def reconstruct(self, state: TrainState, x, dropout: bool = False,

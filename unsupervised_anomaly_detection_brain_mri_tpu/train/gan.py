@@ -22,15 +22,10 @@ from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from unsupervised_anomaly_detection_brain_mri_tpu.train import losses as L
 from unsupervised_anomaly_detection_brain_mri_tpu.train.base import BaseTrainer
-from unsupervised_anomaly_detection_brain_mri_tpu.train.engine import (
-    early_stopping_update,
-    epoch_indices,
-)
 from unsupervised_anomaly_detection_brain_mri_tpu.train.state import (
     TrainState,
     gan_adam,
@@ -518,51 +513,13 @@ class FAnoGAN(AdversarialTrainerBase):
 
         return step
 
-    def fit(self, dataset, state=None, resume=True):
-        """Two-phase loop: WGAN epochs have no VAL/early-stop (parity:
+    def validation_enabled(self, epoch: int) -> bool:
+        """No VAL/early-stop during the WGAN phase (parity:
         `trainers/fAnoGAN.py:87-140`); encoder epochs validate on
-        reconstructionLoss."""
-        c = self.config
-        state = state if state is not None else self.init_state()
-        host_rng = np.random.default_rng(c.seed + 1)
-        train_pool = self._pool_from_dataset(dataset, "TRAIN")
-        val_pool = self._pool_from_dataset(dataset, "VAL")
-        n_train = int(train_pool["x"].shape[0])
-        best_cost, last_improvement = float("inf"), 0
+        reconstructionLoss.  Resume/TensorBoard/profiler come from
+        `BaseTrainer.fit` (parity: `trainers/DLMODEL.py:86-110`)."""
+        return epoch >= self.config.numEpochs
 
-        for epoch in range(self.num_epochs()):
-            phase2 = epoch >= c.numEpochs
-            host_rng = np.random.default_rng((c.seed + 1, epoch))
-            idxs = epoch_indices(host_rng, n_train, c.batchsize)
-            if idxs.size == 0:
-                raise ValueError(
-                    f"batchsize {c.batchsize} exceeds the training pool of "
-                    f"{n_train} slices — no full batch can be formed")
-            state, metrics = self._train_compiler(
-                state, train_pool, jnp.asarray(idxs), phase2=phase2)
-            state = state.replace(epoch=state.epoch + 1)
-            metrics = {k: float(v) for k, v in metrics.items()}
-            tag = "Encoder" if phase2 else "WGAN"
-            print(f"Epoch (train {tag}): [{epoch:3d}] "
-                  + " ".join(f"{k}: {v:.6f}"
-                             for k, v in sorted(metrics.items())))
-            self.history.append({"epoch": epoch, "phase": f"TRAIN_{tag}",
-                                 **metrics})
-            if self.workdir:
-                self.save_checkpoint(state, epoch + 1)
-            if phase2 and val_pool is not None:
-                vidx = epoch_indices(host_rng, int(val_pool["x"].shape[0]),
-                                     c.batchsize, shuffle=False)
-                if vidx.size:
-                    state, vmetrics = self._val_compiler(
-                        state, val_pool, jnp.asarray(vidx))
-                    vmetrics = {k: float(v) for k, v in vmetrics.items()}
-                    self.history.append({"epoch": epoch, "phase": "VAL",
-                                         **vmetrics})
-                    best_cost, last_improvement, stop = early_stopping_update(
-                        vmetrics.get("reconstructionLoss", float("inf")),
-                        best_cost, last_improvement, c.earlyStoppingPatience)
-                    if stop:
-                        print("Early stopping was triggered")
-                        break
-        return state
+    def phase_tag(self, epoch: int) -> str:
+        return ("TRAIN_Encoder" if epoch >= self.config.numEpochs
+                else "TRAIN_WGAN")
