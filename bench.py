@@ -105,26 +105,151 @@ def main() -> None:
     baseline_sps = _best_throughput(run_baseline, B, 8)
     detail["tf1_shaped_baseline_slices_per_sec"] = round(baseline_sps, 1)
 
-    # ---- on-device eval post-processing (Pallas median when on TPU)
+    # ---- opt-in NON-PARITY space-to-depth input stem (VERDICT r1 #9)
     try:
-        from unsupervised_anomaly_detection_brain_mri_tpu.ops.pallas_median import (
-            median_filter_3d_auto,
-        )
+        scfg = cfg.replace(spaceToDepthStem=True)
+        stem_tr = get_trainer("AE")(scfg)
+        sholder = [stem_tr.init_state()]
+        srun = epoch_runner(stem_tr, sholder)
+        srun(1)
+        stem_sps = _best_throughput(srun, n_slices, 4)
+        detail["s2d_stem_ae_slices_per_sec"] = round(stem_sps, 1)
+        detail["s2d_stem_speedup"] = round(stem_sps / native_sps, 3)
+    except Exception as e:  # pragma: no cover
+        detail["s2d_bench_error"] = str(e)[:120]
 
+    # ---- MFU of the AE train step (FLOP count from XLA cost analysis)
+    try:
+        idxs0 = jnp.asarray(epoch_indices(host_rng, n_slices, B))
+        # the EpochCompiler caches the jitted whole-epoch scan; lower it
+        jitted_epoch = next(iter(tr._train_compiler._cache.values()))
+        compiled = jitted_epoch.lower(holder[0], pool, idxs0).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        epoch_flops = float(ca.get("flops", 0.0))
+        dev_kind = jax.devices()[0].device_kind.lower()
+        # per-chip dense peak: v5e 197 TF bf16; v4 275 TF; fallback v5e
+        peak = 197e12 if ("v5" in dev_kind or "lite" in dev_kind) else 275e12
+        if epoch_flops > 0:
+            detail["ae_train_epoch_gflops"] = round(epoch_flops / 1e9, 1)
+            detail["ae_mfu_pct"] = round(
+                100.0 * epoch_flops * native_sps / n_slices / peak, 2)
+            detail["mfu_flop_model"] = (
+                "XLA cost_analysis flops of the whole-epoch jitted scan / "
+                f"measured epoch time; peak={peak / 1e12:.0f}e12 ({dev_kind})")
+    except Exception as e:  # pragma: no cover
+        detail["mfu_error"] = str(e)[:120]
+
+    # ---- one GAN step (AAE: WGAN-GP latent critic + AE step)
+    try:
+        gcfg = Config(trainer="AAE", model="adversarial_autoencoder",
+                      batchsize=B, outputWidth=H, outputHeight=H, zDim=128,
+                      intermediateResolutions=(16, 16))
+        gtr = get_trainer("AAE")(gcfg)
+        gholder = [gtr.init_state()]
+        grun = epoch_runner(gtr, gholder)
+        grun(1)
+        detail["aae_train_slices_per_sec"] = round(
+            _best_throughput(grun, n_slices, 2), 1)
+    except Exception as e:  # pragma: no cover
+        detail["gan_bench_error"] = str(e)[:120]
+
+    # ---- Pallas vs XLA 5^3 median filter on a 112-slice volume
+    from unsupervised_anomaly_detection_brain_mri_tpu.ops.pallas_median import (
+        median_filter_3d_auto,
+    )
+    from unsupervised_anomaly_detection_brain_mri_tpu.ops.postprocess import (
+        filter_small_components,
+        median_filter_3d,
+    )
+
+    try:
         vol = jnp.asarray(host_rng.uniform(
             0, 1, (112, H, H)).astype(np.float32))
-        f = jax.jit(lambda v: median_filter_3d_auto(v))
-        _ = float(jnp.sum(f(vol)))  # compile
+        f_auto = jax.jit(lambda v: median_filter_3d_auto(v))
+        f_xla = jax.jit(lambda v: median_filter_3d(v))
+        _ = float(jnp.sum(f_auto(vol)))
+        _ = float(jnp.sum(f_xla(vol)))
 
-        def run_median(n: int):
-            for _ in range(n):
-                r = f(vol)
-            _ = float(jnp.sum(r))
+        def run_f(f):
+            def run(n: int):
+                for _ in range(n):
+                    r = f(vol)
+                _ = float(jnp.sum(r))
+            return run
 
-        vols_per_sec = _best_throughput(run_median, 1, 5)
-        detail["median5_volumes_per_sec"] = round(vols_per_sec, 2)
+        vps_auto = _best_throughput(run_f(f_auto), 1, 5)
+        vps_xla = _best_throughput(run_f(f_xla), 1, 5)
+        detail["median5_volumes_per_sec"] = round(vps_auto, 2)
+        detail["median5_xla_volumes_per_sec"] = round(vps_xla, 2)
+        detail["pallas_vs_xla_median_speedup"] = round(vps_auto / vps_xla, 2)
     except Exception as e:  # pragma: no cover - keep the headline metric
         detail["median_bench_error"] = str(e)[:120]
+
+    # ---- full on-device eval post-processing wall-clock (warm):
+    # residual -> erosion-masked -> prior -> median -> curve summary -> CC
+    # filter -> detection counts on a 4-patient x 112-slice cohort
+    try:
+        from unsupervised_anomaly_detection_brain_mri_tpu.ops import (
+            metrics as M,
+        )
+        from unsupervised_anomaly_detection_brain_mri_tpu.ops import (
+            postprocess as P,
+        )
+
+        S = 4 * 112
+        xs = jnp.asarray(host_rng.uniform(0, 1, (S, H, H)).astype(np.float32))
+        recs = xs * 0.9
+        yy, xx = np.mgrid[:H, :H]
+        skm = (((yy - H / 2) ** 2 + (xx - H / 2) ** 2)
+               < (0.4 * H) ** 2).astype(np.float32)
+        skm = jnp.asarray(np.broadcast_to(skm, (S, H, H)))
+        labels = xs > 0.97
+
+        @jax.jit
+        def eval_pipeline(x, rec, skullmap, lab):
+            eroded = P.binary_erosion_2d(skullmap, 12)
+            diff = jnp.maximum(x - rec, 0.0) * eroded.astype(x.dtype)
+            diff = median_filter_3d_auto(diff, 5)
+            summary = M.anomaly_curve_summary(diff.ravel(), lab.ravel())
+            thr = filter_small_components(diff > summary["best_threshold"], 7)
+            return summary["auc"], summary["best_dice"], jnp.sum(thr)
+
+        _ = float(eval_pipeline(xs, recs, skm, labels)[0])  # compile
+
+        def run_eval(n: int):
+            for _ in range(n):
+                r = eval_pipeline(xs, recs, skm, labels)
+            _ = float(r[0])
+
+        t0 = time.perf_counter()
+        run_eval(1)
+        detail["eval_pipeline_sec_4x112"] = round(
+            time.perf_counter() - t0, 2)
+    except Exception as e:  # pragma: no cover
+        detail["eval_bench_error"] = str(e)[:120]
+
+    # ---- VAE_You 150-step input-gradient restoration (volumes/sec)
+    try:
+        ycfg = Config(trainer="VAE_You", model="variational_autoencoder",
+                      batchsize=B, outputWidth=H, outputHeight=H, zDim=128,
+                      restore_steps=150, tv_lambda=1.0)
+        ytr = get_trainer("VAE_You")(ycfg)
+        ystate = ytr.init_state()
+        yvol = jnp.asarray(host_rng.uniform(
+            0, 1, (112, H, H, 1)).astype(np.float32))
+        r = ytr.reconstruct(ystate, yvol)  # compile
+        _ = float(np.asarray(r["reconstruction"]).sum())
+
+        def run_restore(n: int):
+            for _ in range(n):
+                rr = ytr.reconstruct(ystate, yvol)
+            _ = float(np.asarray(rr["reconstruction"]).sum())
+
+        detail["vae_you_restoration_volumes_per_sec"] = round(
+            _best_throughput(run_restore, 1, 2), 3)
+    except Exception as e:  # pragma: no cover
+        detail["restoration_bench_error"] = str(e)[:120]
 
     print(json.dumps({
         "metric": "brainweb_ae_train_throughput",

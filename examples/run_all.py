@@ -16,8 +16,12 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import traceback
+
+# runnable from any working directory
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from unsupervised_anomaly_detection_brain_mri_tpu.cli import main as cli_main
 from unsupervised_anomaly_detection_brain_mri_tpu.config import (

@@ -1,0 +1,64 @@
+"""Opt-in space-to-depth input stem (NON-PARITY perf flag,
+`Config.spaceToDepthStem`; round-1 VERDICT item #9)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unsupervised_anomaly_detection_brain_mri_tpu.config import Config
+from unsupervised_anomaly_detection_brain_mri_tpu.models import get_model
+from unsupervised_anomaly_detection_brain_mri_tpu.models.layers import (
+    space_to_depth,
+)
+from unsupervised_anomaly_detection_brain_mri_tpu.train import get_trainer
+
+
+def test_space_to_depth_packing():
+    x = jnp.arange(2 * 4 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 4, 3)
+    y = space_to_depth(x, 2)
+    assert y.shape == (2, 2, 2, 12)
+    # block (0,0) of batch 0: pixels (0,0),(0,1),(1,0),(1,1), channels fastest
+    expect = jnp.concatenate([x[0, 0, 0], x[0, 0, 1], x[0, 1, 0], x[0, 1, 1]])
+    np.testing.assert_array_equal(np.asarray(y[0, 0, 0]), np.asarray(expect))
+
+
+@pytest.mark.parametrize("name", ["autoencoder", "autoencoder_spatial",
+                                  "variational_autoencoder"])
+def test_stem_flag_swaps_first_conv(name):
+    cfg = Config(model=name, outputWidth=32, outputHeight=32, zDim=16,
+                 spaceToDepthStem=True, compute_dtype="float32")
+    m, spec = get_model(cfg, jnp.float32)
+    x = jnp.zeros((2, 32, 32, 1))
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+    if "sample" in spec.rngs:
+        rngs["sample"] = jax.random.key(2)
+    v = m.init(rngs, x, train=False, dropout=False)
+    flat = [jax.tree_util.keystr(p) for p, _ in
+            jax.tree_util.tree_leaves_with_path(v["params"])]
+    assert any("enc_conv_0_s2d" in k for k in flat)
+    assert not any("'enc_conv_0'" in k for k in flat)
+    out = m.apply(v, x, train=False, dropout=False,
+                  rngs={k: r for k, r in rngs.items() if k != "params"})
+    assert out["x_hat"].shape == (2, 32, 32, 1)
+
+
+def test_stem_off_by_default_keeps_parity_arch():
+    cfg = Config(model="autoencoder", outputWidth=32, outputHeight=32,
+                 zDim=16, compute_dtype="float32")
+    m, _ = get_model(cfg, jnp.float32)
+    v = m.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+               jnp.zeros((1, 32, 32, 1)), train=False, dropout=False)
+    flat = [jax.tree_util.keystr(p) for p, _ in
+            jax.tree_util.tree_leaves_with_path(v["params"])]
+    assert not any("s2d" in k for k in flat)
+
+
+def test_stem_trains(synth_dataset):
+    cfg = Config(trainer="AE", model="autoencoder", batchsize=8,
+                 outputWidth=32, outputHeight=32, zDim=16, numEpochs=3,
+                 spaceToDepthStem=True, compute_dtype="float32")
+    tr = get_trainer("AE")(cfg)
+    state = tr.fit(synth_dataset)
+    res = tr.reconstruct(state, synth_dataset.slices("VAL")[:4])
+    assert np.all(np.isfinite(np.asarray(res["reconstruction"])))

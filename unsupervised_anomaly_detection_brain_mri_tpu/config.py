@@ -122,6 +122,12 @@ class Config:
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
 
+    # opt-in NON-PARITY perf: space-to-depth(2x2)+Conv(3x3) input stem on
+    # the unified encoder instead of Conv(5x5, s=2) on the C=1 input (the
+    # parity stem contracts 25 values/output on a 128-lane MXU).  Changes
+    # the architecture — off by default; see models/layers.py.
+    spaceToDepthStem: bool = False
+
     # early stopping (AEMODEL.indicate_early_stopping parity: patience 5)
     earlyStoppingPatience: int = 5
 

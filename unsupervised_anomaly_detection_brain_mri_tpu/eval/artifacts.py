@@ -68,6 +68,28 @@ def plot_prc(prc: Dict[str, np.ndarray], auprc: float, filename: str) -> None:
     plt.close(fig)
 
 
+def plot_dice_curve(curve: Dict[str, np.ndarray], best_dice: float,
+                    best_threshold: float, filename: str) -> None:
+    """DICE-vs-threshold curve (dicePC.png parity,
+    `trainers/Metrics.py:110-136` via `utils/Evaluation.py:442-451`)."""
+    fig = plt.figure()
+    order = np.argsort(curve["thresholds"])
+    plt.plot(np.asarray(curve["thresholds"])[order],
+             np.asarray(curve["dice"])[order], color="darkorange", lw=2,
+             label="DICE vs Threshold Curve")
+    plt.ylim([0.0, 1.05])
+    plt.xlabel("Thresholds")
+    plt.ylabel("DICE Score")
+    plt.title("DICE vs Thresholds Curve")
+    plt.legend(loc="lower right")
+    plt.text(0.99, 0.99,
+             f"Best dice score at {best_threshold:.5f} with {best_dice:.4f}",
+             horizontalalignment="right", verticalalignment="top",
+             transform=plt.gca().transAxes)
+    fig.savefig(filename)
+    plt.close(fig)
+
+
 def plot_histogram_with_labels(values: np.ndarray, labels: np.ndarray,
                                bins, value_range, title: str,
                                export_pdf: Optional[str] = None) -> None:

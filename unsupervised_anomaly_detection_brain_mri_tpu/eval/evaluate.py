@@ -246,6 +246,12 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
 
     eval_pc, patients = _evaluate(dataset, trainer, state, sample_dir,
                                   options, config, split="TEST")
+    if eval_pc["diffs"] is None:
+        raise ValueError(
+            "evaluate(): no evaluable patients — every volume was skipped "
+            "by the shape-sanity check (volume min dim < sliceEnd - "
+            "sliceStart). Check the --slices/-s/-e range against the "
+            "volume shapes.")
     diffs = jnp.asarray(eval_pc["diffs"])
     labels = jnp.asarray(eval_pc["labelmaps"])
     flat_scores = diffs.ravel()
@@ -293,6 +299,9 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
                 allow_pickle=True)
         artifacts.plot_prc(prc, eval_pc["diff_AUPRC"],
                            os.path.join(eval_dir, "prcPC.png"))
+    artifacts.plot_dice_curve(
+        summary["dice_curve"], eval_pc["bestDiceScore"],
+        eval_pc["bestThreshold"], os.path.join(eval_dir, "dicePC.png"))
     print(f"Curves done in {time.time() - t0:.2f}s "
           f"(AUC={eval_pc.get('diff_AUC', float('nan')):.4f} "
           f"AUPRC={eval_pc.get('diff_AUPRC', float('nan')):.4f} "

@@ -29,11 +29,13 @@ class Autoencoder(nn.Module):
     z_dim: int = 128
     intermediate_resolution: int = 8
     dropout_rate: float = 0.2
+    space_to_depth_stem: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
         self.encoder = UnifiedEncoder(
-            self.image_size, self.intermediate_resolution, dtype=self.dtype
+            self.image_size, self.intermediate_resolution,
+            space_to_depth_stem=self.space_to_depth_stem, dtype=self.dtype
         )
         self.bottleneck = DenseBottleneck(
             self.z_dim, self.dropout_rate, dtype=self.dtype
@@ -63,11 +65,13 @@ class AutoencoderSpatial(nn.Module):
     z_dim: int = 128  # unused; kept for a uniform constructor signature
     intermediate_resolution: int = 8
     dropout_rate: float = 0.2
+    space_to_depth_stem: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
         self.encoder = UnifiedEncoder(
-            self.image_size, self.intermediate_resolution, dtype=self.dtype
+            self.image_size, self.intermediate_resolution,
+            space_to_depth_stem=self.space_to_depth_stem, dtype=self.dtype
         )
         self.decoder = UnifiedDecoder(
             self.image_size,

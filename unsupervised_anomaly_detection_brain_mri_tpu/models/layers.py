@@ -81,12 +81,33 @@ class Norm(nn.Module):
         )(x)
 
 
+def space_to_depth(x: Array, block: int = 2) -> Array:
+    """(B, H, W, C) -> (B, H/b, W/b, C*b*b) by packing b x b pixel blocks
+    into channels — a pure reshape/transpose (free on TPU: layout change
+    fuses into the consumer conv)."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // block, block, W // block, block, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // block, W // block, C * block * block)
+
+
 class UnifiedEncoder(nn.Module):
-    """Strided-conv pyramid down to ``intermediate_resolution``."""
+    """Strided-conv pyramid down to ``intermediate_resolution``.
+
+    ``space_to_depth_stem`` (opt-in, NON-PARITY): replaces stage 0's
+    Conv(k=5, s=2) on the C=1 input with space-to-depth(2x2) +
+    Conv(k=3, s=1).  The parity stem contracts only K*K*C = 25 values per
+    output — 25 of the MXU's 128 lanes; the packed stem contracts 9*4 = 36
+    over a 4x smaller spatial domain and lets XLA tile the input stationary,
+    lifting the input-conv's MXU utilisation.  Output shapes (and every
+    later stage) are unchanged; weights are NOT interchangeable with the
+    parity stem, which is why it sits behind ``Config.spaceToDepthStem``.
+    """
 
     image_width: int
     intermediate_resolution: int = 8
     use_batchnorm: bool = True
+    space_to_depth_stem: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -94,15 +115,27 @@ class UnifiedEncoder(nn.Module):
         n = num_scale_stages(self.image_width, self.intermediate_resolution)
         for i in range(n):
             filters = int(min(128, 32 * (2 ** i)))
-            x = nn.Conv(
-                filters,
-                kernel_size=(5, 5),
-                strides=(2, 2),
-                padding="SAME",
-                kernel_init=conv_init,
-                dtype=self.dtype,
-                name=f"enc_conv_{i}",
-            )(x)
+            if i == 0 and self.space_to_depth_stem and n > 0:
+                x = space_to_depth(x, 2)
+                x = nn.Conv(
+                    filters,
+                    kernel_size=(3, 3),
+                    strides=(1, 1),
+                    padding="SAME",
+                    kernel_init=conv_init,
+                    dtype=self.dtype,
+                    name="enc_conv_0_s2d",
+                )(x)
+            else:
+                x = nn.Conv(
+                    filters,
+                    kernel_size=(5, 5),
+                    strides=(2, 2),
+                    padding="SAME",
+                    kernel_init=conv_init,
+                    dtype=self.dtype,
+                    name=f"enc_conv_{i}",
+                )(x)
             x = Norm(self.use_batchnorm, dtype=self.dtype, name=f"enc_norm_{i}")(
                 x, train=train
             )

@@ -42,7 +42,7 @@ class ModelSpec:
 
 def _std(cls):
     def build(config: Config, dtype: Any):
-        return cls(
+        kwargs = dict(
             image_size=config.outputWidth,
             channels=config.numChannels,
             z_dim=config.zDim,
@@ -50,6 +50,11 @@ def _std(cls):
             dropout_rate=config.dropout_rate,
             dtype=dtype,
         )
+        # opt-in non-parity perf stem, only for models that declare it
+        if ("space_to_depth_stem" in getattr(cls, "__dataclass_fields__", {})
+                and getattr(config, "spaceToDepthStem", False)):
+            kwargs["space_to_depth_stem"] = True
+        return cls(**kwargs)
 
     return build
 

@@ -84,11 +84,13 @@ class VariationalAutoencoder(nn.Module):
     z_dim: int = 128
     intermediate_resolution: int = 8
     dropout_rate: float = 0.1
+    space_to_depth_stem: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
         self.encoder = UnifiedEncoder(
-            self.image_size, self.intermediate_resolution, dtype=self.dtype
+            self.image_size, self.intermediate_resolution,
+            space_to_depth_stem=self.space_to_depth_stem, dtype=self.dtype
         )
         self.bottleneck = VAEBottleneck(self.z_dim, self.dropout_rate, self.dtype)
         self.decoder = UnifiedDecoder(

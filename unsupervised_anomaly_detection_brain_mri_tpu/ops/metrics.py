@@ -199,6 +199,10 @@ def anomaly_curve_summary(scores: Array, labels: Array,
         "prc": {"precisions": tps[pos] / jnp.maximum(tps[pos] + fps[pos],
                                                      1.0),
                 "recalls": tps[pos] / P, "thresholds": s[pos]},
+        # dice-vs-threshold curve samples (dicePC.png parity,
+        # `Evaluation.py:442-451`)
+        "dice_curve": {"dice": 2.0 * tps[pos] / (tps[pos] + fps[pos] + P),
+                       "thresholds": s[pos]},
     }
 
 
