@@ -77,6 +77,13 @@ def main() -> None:
     run(1)  # compile + warmup
     native_sps = _best_throughput(run, n_slices, 4)
     detail["native_ae_slices_per_sec"] = round(native_sps, 1)
+    # marginal slope between 4- and 16-epoch runs: device-side rate with the
+    # remote-tunnel's fixed dispatch latency cancelled out
+    t4 = time.perf_counter(); run(4); t4 = time.perf_counter() - t4
+    t16 = time.perf_counter(); run(16); t16 = time.perf_counter() - t16
+    if t16 > t4:
+        detail["native_ae_slices_per_sec_marginal"] = round(
+            12 * n_slices / (t16 - t4), 1)
 
     # ---- VAE path (BASELINE.md names AE & VAE)
     vcfg = Config(trainer="VAE", model="variational_autoencoder",

@@ -163,6 +163,9 @@ def make_parser() -> argparse.ArgumentParser:
                    help="data-parallel device count (default: all)")
     p.add_argument("--precision", default="bfloat16",
                    choices=("bfloat16", "float32"))
+    p.add_argument("--s2d-stem", action="store_true",
+                   help="opt-in NON-PARITY space-to-depth input stem "
+                        "(Config.spaceToDepthStem)")
     p.add_argument("--preset", default=None, type=str,
                    help="experiment preset name (mains/ parity)")
     p.add_argument("--workdir", default=None, type=str)
@@ -213,6 +216,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         c_lambda=args.c_lambda, restore_lr=args.restore_lr,
         restore_steps=args.restore_steps, tv_lambda=args.tv_lambda,
         use_gradient_based_restoration=args.use_gradient_based_restoration,
+        spaceToDepthStem=args.s2d_stem,
         mesh=MeshConfig(data=args.mesh_data),
     )
     if args.preset:
@@ -230,6 +234,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             **{k: v for k, v in overrides.items() if k in keep})
         # non-architecture flags always apply
         config = config.replace(compute_dtype=args.precision,
+                                spaceToDepthStem=args.s2d_stem,
                                 mesh=MeshConfig(data=args.mesh_data))
     else:
         config = Config().replace(**overrides)

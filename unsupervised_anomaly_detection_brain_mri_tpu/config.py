@@ -168,9 +168,13 @@ class Config:
         `trainers/AEMODEL.py:54-61`:
         ``{trainer}_d{ds}_s{W}x{H}_{model}_b{bs}_z{z}_{desc}``.
         """
+        # the s2d stem changes the parameter tree — tag the directory so a
+        # stem run never tries to resume a parity-architecture checkpoint
+        stem = "_s2d" if self.spaceToDepthStem else ""
         return (
             f"{self.trainer}_d{dataset}_s{self.outputWidth}x{self.outputHeight}"
-            f"_{self.model}_b{self.batchsize}_z{self.zDim}_{self.description}"
+            f"_{self.model}{stem}_b{self.batchsize}_z{self.zDim}"
+            f"_{self.description}"
         )
 
     def replace(self, **kw: Any) -> "Config":
