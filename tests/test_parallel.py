@@ -143,3 +143,57 @@ def test_mesh_reconstruct_shards_and_unpads(ctx8):
     res = tr.reconstruct(state, x)
     assert res["reconstruction"].shape == (11, 32, 32, 1)
     assert np.isfinite(res["l1err"])
+
+
+def test_data_parallel_gan_step(ctx8):
+    """One AAE adversarial step (critic + gen + AE updates) on the 8-device
+    mesh matches the single-device step — the GAN family's multi-chip path."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.train import get_trainer
+
+    cfg = Config(trainer="AAE", model="adversarial_autoencoder",
+                 batchsize=16, outputWidth=32, outputHeight=32, zDim=16,
+                 intermediateResolutions=(16, 16), compute_dtype="float32")
+    x = np.random.default_rng(1).uniform(
+        0, 1, (16, 32, 32, 1)).astype(np.float32)
+
+    tr1 = get_trainer("AAE")(cfg)
+    s1 = tr1.init_state()
+    step1 = jax.jit(tr1._build_train_step())
+    s1, m1 = step1(s1, {"x": jnp.asarray(x)})
+
+    tr8 = get_trainer("AAE")(cfg, mesh=ctx8)
+    s8 = tr8.init_state()
+    step8 = jax.jit(tr8._build_train_step())
+    s8, m8 = step8(s8, ctx8.shard_batch({"x": jnp.asarray(x)}))
+
+    for k in m1:
+        assert np.isfinite(float(m8[k])), k
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=1e-4,
+                                   err_msg=k)
+    p1 = jax.tree_util.tree_leaves(s1.params)[0]
+    p8 = jax.tree_util.tree_leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-4)
+
+
+def test_data_parallel_gmvae_step(ctx8):
+    """One GMVAE step (4-term mixture loss) on the 8-device mesh."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.train import get_trainer
+
+    cfg = Config(trainer="GMVAE", model="gaussian_mixture_variational_autoencoder",
+                 batchsize=16, outputWidth=32, outputHeight=32,
+                 dim_c=3, dim_z=16, dim_w=1, compute_dtype="float32")
+    x = np.random.default_rng(2).uniform(
+        0, 1, (16, 32, 32, 1)).astype(np.float32)
+
+    tr1 = get_trainer("GMVAE")(cfg)
+    s1 = tr1.init_state()
+    step1 = jax.jit(tr1._build_train_step())
+    s1, m1 = step1(s1, {"x": jnp.asarray(x)})
+
+    tr8 = get_trainer("GMVAE")(cfg, mesh=ctx8)
+    s8 = tr8.init_state()
+    step8 = jax.jit(tr8._build_train_step())
+    s8, m8 = step8(s8, ctx8.shard_batch({"x": jnp.asarray(x)}))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-4)
