@@ -112,16 +112,20 @@ def main() -> None:
     baseline_sps = _best_throughput(run_baseline, B, 8)
     detail["tf1_shaped_baseline_slices_per_sec"] = round(baseline_sps, 1)
 
-    # ---- opt-in NON-PARITY space-to-depth input stem (VERDICT r1 #9)
+    # ---- opt-in NON-PARITY perf mode: s2d stem + d2s decoder head.
+    # The parity decoder materialises a 128x128x128x32 bf16 feature map
+    # (134 MB) each step — the profiled HBM bottleneck; the packed head
+    # computes at half resolution.  Same eval quality on the synthetic
+    # phantom (AUC 0.9365 both, see docs/STATUS.md).
     try:
-        scfg = cfg.replace(spaceToDepthStem=True)
+        scfg = cfg.replace(spaceToDepthStem=True, depthToSpaceHead=True)
         stem_tr = get_trainer("AE")(scfg)
         sholder = [stem_tr.init_state()]
         srun = epoch_runner(stem_tr, sholder)
         srun(1)
         stem_sps = _best_throughput(srun, n_slices, 4)
-        detail["s2d_stem_ae_slices_per_sec"] = round(stem_sps, 1)
-        detail["s2d_stem_speedup"] = round(stem_sps / native_sps, 3)
+        detail["fastmode_ae_slices_per_sec"] = round(stem_sps, 1)
+        detail["fastmode_speedup"] = round(stem_sps / native_sps, 3)
     except Exception as e:  # pragma: no cover
         detail["s2d_bench_error"] = str(e)[:120]
 

@@ -62,3 +62,50 @@ def test_stem_trains(synth_dataset):
     state = tr.fit(synth_dataset)
     res = tr.reconstruct(state, synth_dataset.slices("VAL")[:4])
     assert np.all(np.isfinite(np.asarray(res["reconstruction"])))
+
+
+def test_depth_to_space_inverse():
+    from unsupervised_anomaly_detection_brain_mri_tpu.models.layers import (
+        depth_to_space,
+    )
+
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(space_to_depth(x, 2), 2)), np.asarray(x))
+
+
+def test_d2s_head_swaps_decoder_tail():
+    cfg = Config(model="autoencoder", outputWidth=32, outputHeight=32,
+                 zDim=16, depthToSpaceHead=True, compute_dtype="float32")
+    m, _ = get_model(cfg, jnp.float32)
+    x = jnp.zeros((2, 32, 32, 1))
+    v = m.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+               x, train=False, dropout=False)
+    keys = [jax.tree_util.keystr(p) for p, _ in
+            jax.tree_util.tree_leaves_with_path(v["params"])]
+    assert any("dec_conv_d2s_head" in k for k in keys)
+    assert not any("dec_conv_final" in k for k in keys)
+    # the last parity ConvT stage is gone too
+    assert not any("dec_convT_2" in k for k in keys)  # 32->8 has 2 stages
+    out = m.apply(v, x, train=False, dropout=False)
+    assert out["x_hat"].shape == (2, 32, 32, 1)
+    assert out["x_hat"].dtype == jnp.float32
+
+
+def test_d2s_head_trains(synth_dataset):
+    cfg = Config(trainer="AE", model="autoencoder", batchsize=8,
+                 outputWidth=32, outputHeight=32, zDim=16, numEpochs=3,
+                 depthToSpaceHead=True, spaceToDepthStem=True,
+                 compute_dtype="float32")
+    tr = get_trainer("AE")(cfg)
+    state = tr.fit(synth_dataset)
+    res = tr.reconstruct(state, synth_dataset.slices("VAL")[:4])
+    assert np.all(np.isfinite(np.asarray(res["reconstruction"])))
+
+
+def test_perf_flags_tag_model_dir():
+    base = Config(model="autoencoder")
+    assert "_s2d" not in base.model_dir("x")
+    assert "_d2s" not in base.model_dir("x")
+    both = base.replace(spaceToDepthStem=True, depthToSpaceHead=True)
+    assert "_s2d" in both.model_dir("x") and "_d2s" in both.model_dir("x")

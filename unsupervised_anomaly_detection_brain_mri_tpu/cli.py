@@ -166,6 +166,9 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--s2d-stem", action="store_true",
                    help="opt-in NON-PARITY space-to-depth input stem "
                         "(Config.spaceToDepthStem)")
+    p.add_argument("--d2s-head", action="store_true",
+                   help="opt-in NON-PARITY depth-to-space decoder head "
+                        "(Config.depthToSpaceHead)")
     p.add_argument("--preset", default=None, type=str,
                    help="experiment preset name (mains/ parity)")
     p.add_argument("--workdir", default=None, type=str)
@@ -217,6 +220,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         restore_steps=args.restore_steps, tv_lambda=args.tv_lambda,
         use_gradient_based_restoration=args.use_gradient_based_restoration,
         spaceToDepthStem=args.s2d_stem,
+        depthToSpaceHead=args.d2s_head,
         mesh=MeshConfig(data=args.mesh_data),
     )
     if args.preset:
@@ -235,6 +239,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         # non-architecture flags always apply
         config = config.replace(compute_dtype=args.precision,
                                 spaceToDepthStem=args.s2d_stem,
+        depthToSpaceHead=args.d2s_head,
                                 mesh=MeshConfig(data=args.mesh_data))
     else:
         config = Config().replace(**overrides)

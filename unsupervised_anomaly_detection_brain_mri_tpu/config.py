@@ -127,6 +127,10 @@ class Config:
     # parity stem contracts 25 values/output on a 128-lane MXU).  Changes
     # the architecture — off by default; see models/layers.py.
     spaceToDepthStem: bool = False
+    # opt-in NON-PARITY perf: replace the decoder's full-resolution 32-ch
+    # ConvT stage + 1x1 head with Conv(3x3, 4*C_out) at half resolution +
+    # depth-to-space — removes the train step's dominant HBM traffic.
+    depthToSpaceHead: bool = False
 
     # early stopping (AEMODEL.indicate_early_stopping parity: patience 5)
     earlyStoppingPatience: int = 5
@@ -168,9 +172,10 @@ class Config:
         `trainers/AEMODEL.py:54-61`:
         ``{trainer}_d{ds}_s{W}x{H}_{model}_b{bs}_z{z}_{desc}``.
         """
-        # the s2d stem changes the parameter tree — tag the directory so a
-        # stem run never tries to resume a parity-architecture checkpoint
-        stem = "_s2d" if self.spaceToDepthStem else ""
+        # the s2d stem / d2s head change the parameter tree — tag the
+        # directory so such a run never resumes a parity checkpoint
+        stem = ("_s2d" if self.spaceToDepthStem else "") + (
+            "_d2s" if self.depthToSpaceHead else "")
         return (
             f"{self.trainer}_d{dataset}_s{self.outputWidth}x{self.outputHeight}"
             f"_{self.model}{stem}_b{self.batchsize}_z{self.zDim}"

@@ -30,6 +30,7 @@ class Autoencoder(nn.Module):
     intermediate_resolution: int = 8
     dropout_rate: float = 0.2
     space_to_depth_stem: bool = False
+    depth_to_space_head: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -44,6 +45,7 @@ class Autoencoder(nn.Module):
             self.image_size,
             self.channels,
             self.intermediate_resolution,
+            depth_to_space_head=self.depth_to_space_head,
             dtype=self.dtype,
         )
 
@@ -66,6 +68,7 @@ class AutoencoderSpatial(nn.Module):
     intermediate_resolution: int = 8
     dropout_rate: float = 0.2
     space_to_depth_stem: bool = False
+    depth_to_space_head: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -77,6 +80,7 @@ class AutoencoderSpatial(nn.Module):
             self.image_size,
             self.channels,
             self.intermediate_resolution,
+            depth_to_space_head=self.depth_to_space_head,
             dtype=self.dtype,
         )
         self.drop = nn.Dropout(self.dropout_rate)

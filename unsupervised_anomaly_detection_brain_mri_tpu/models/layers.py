@@ -143,14 +143,35 @@ class UnifiedEncoder(nn.Module):
         return x
 
 
+def depth_to_space(x: Array, block: int = 2) -> Array:
+    """(B, H, W, C*b*b) -> (B, H*b, W*b, C): inverse of ``space_to_depth``."""
+    B, H, W, C = x.shape
+    c = C // (block * block)
+    x = x.reshape(B, H, W, block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H * block, W * block, c)
+
+
 class UnifiedDecoder(nn.Module):
-    """Mirrored transposed-conv pyramid up to ``output_width``."""
+    """Mirrored transposed-conv pyramid up to ``output_width``.
+
+    ``depth_to_space_head`` (opt-in, NON-PARITY): replaces the LAST
+    ConvT(k=5, s=2, 32ch) stage + BN + LeakyReLU + 1x1 output conv with one
+    Conv(k=3, s=1, 4*C_out) at half resolution followed by
+    depth-to-space(2x2).  The parity head materialises a full-resolution
+    32-channel feature map (128x128x128x32 bf16 = 134 MB at batch 128) that
+    dominates the train step's HBM traffic — measured ~60% of the AE epoch
+    on TPU v5e (profiler: the dec_convT_3 / dec_conv_final fusions).  The
+    packed head computes everything at half resolution and writes only the
+    C_out-channel output.  Behind ``Config.depthToSpaceHead``.
+    """
 
     output_width: int
     output_channels: int = 1
     intermediate_resolution: int = 8
     use_batchnorm: bool = True
     final_activation: Optional[Callable[[Array], Array]] = None
+    depth_to_space_head: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -160,7 +181,9 @@ class UnifiedDecoder(nn.Module):
             x, train=train
         )
         x = nn.relu(x)
-        for i in range(n):
+        packed_head = self.depth_to_space_head and n > 0
+        n_convt = n - 1 if packed_head else n
+        for i in range(n_convt):
             filters = int(max(32, 128 // (2 ** i)))
             x = nn.ConvTranspose(
                 filters,
@@ -175,14 +198,25 @@ class UnifiedDecoder(nn.Module):
                 x, train=train
             )
             x = leaky_relu(x)
-        x = nn.Conv(
-            self.output_channels,
-            kernel_size=(1, 1),
-            padding="SAME",
-            kernel_init=conv_init,
-            dtype=self.dtype,
-            name="dec_conv_final",
-        )(x)
+        if packed_head:
+            x = nn.Conv(
+                4 * self.output_channels,
+                kernel_size=(3, 3),
+                padding="SAME",
+                kernel_init=conv_init,
+                dtype=self.dtype,
+                name="dec_conv_d2s_head",
+            )(x)
+            x = depth_to_space(x, 2)
+        else:
+            x = nn.Conv(
+                self.output_channels,
+                kernel_size=(1, 1),
+                padding="SAME",
+                kernel_init=conv_init,
+                dtype=self.dtype,
+                name="dec_conv_final",
+            )(x)
         if self.final_activation is not None:
             x = self.final_activation(x)
         # Final output always in float32 for stable losses/metrics.

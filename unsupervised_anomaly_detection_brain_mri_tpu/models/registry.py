@@ -50,10 +50,14 @@ def _std(cls):
             dropout_rate=config.dropout_rate,
             dtype=dtype,
         )
-        # opt-in non-parity perf stem, only for models that declare it
-        if ("space_to_depth_stem" in getattr(cls, "__dataclass_fields__", {})
+        # opt-in non-parity perf paths, only for models that declare them
+        fields = getattr(cls, "__dataclass_fields__", {})
+        if ("space_to_depth_stem" in fields
                 and getattr(config, "spaceToDepthStem", False)):
             kwargs["space_to_depth_stem"] = True
+        if ("depth_to_space_head" in fields
+                and getattr(config, "depthToSpaceHead", False)):
+            kwargs["depth_to_space_head"] = True
         return cls(**kwargs)
 
     return build

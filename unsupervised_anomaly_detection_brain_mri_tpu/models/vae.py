@@ -85,6 +85,7 @@ class VariationalAutoencoder(nn.Module):
     intermediate_resolution: int = 8
     dropout_rate: float = 0.1
     space_to_depth_stem: bool = False
+    depth_to_space_head: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -95,6 +96,7 @@ class VariationalAutoencoder(nn.Module):
         self.bottleneck = VAEBottleneck(self.z_dim, self.dropout_rate, self.dtype)
         self.decoder = UnifiedDecoder(
             self.image_size, self.channels, self.intermediate_resolution,
+            depth_to_space_head=self.depth_to_space_head,
             dtype=self.dtype,
         )
 
