@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TRIALS = 3
+TRIALS = 2  # best-of-2: bounded runtime under the driver's bench timeout
 
 
 def _best_throughput(fn, units_per_call: int, n_calls: int) -> float:

@@ -109,3 +109,35 @@ def test_perf_flags_tag_model_dir():
     assert "_d2s" not in base.model_dir("x")
     both = base.replace(spaceToDepthStem=True, depthToSpaceHead=True)
     assert "_s2d" in both.model_dir("x") and "_d2s" in both.model_dir("x")
+
+
+@pytest.mark.parametrize("name", ["adversarial_autoencoder", "fanogan",
+                                  "anovaegan", "constrained_autoencoder"])
+def test_perf_flags_reach_adversarial_family(name):
+    cfg = Config(model=name, outputWidth=32, outputHeight=32, zDim=16,
+                 intermediateResolutions=(16, 16), compute_dtype="float32",
+                 spaceToDepthStem=True, depthToSpaceHead=True)
+    m, spec = get_model(cfg, jnp.float32)
+    x = jnp.zeros((2, 32, 32, 1))
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "sample": jax.random.key(2), "gp": jax.random.key(3)}
+    args = (x, jnp.zeros((2, 16))) if spec.takes_prior_z else (x,)
+    v = m.init(rngs, *args, train=False, dropout=False)
+    keys = [jax.tree_util.keystr(p) for p, _ in
+            jax.tree_util.tree_leaves_with_path(v["params"])]
+    assert any("s2d" in k for k in keys)
+    assert any("d2s" in k for k in keys)
+    out = m.apply(v, *args, train=False, dropout=False,
+                  rngs={k: r for k, r in rngs.items() if k != "params"})
+    assert out[spec.reconstruction_key].shape == (2, 32, 32, 1)
+
+
+def test_aae_trains_with_perf_flags(synth_dataset):
+    cfg = Config(trainer="AAE", model="adversarial_autoencoder", batchsize=8,
+                 outputWidth=32, outputHeight=32, zDim=16, numEpochs=2,
+                 intermediateResolutions=(16, 16), compute_dtype="float32",
+                 spaceToDepthStem=True, depthToSpaceHead=True)
+    tr = get_trainer("AAE")(cfg)
+    state = tr.fit(synth_dataset)
+    res = tr.reconstruct(state, synth_dataset.slices("VAL")[:4])
+    assert np.all(np.isfinite(np.asarray(res["reconstruction"])))

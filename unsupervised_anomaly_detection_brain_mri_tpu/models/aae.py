@@ -48,14 +48,18 @@ class _AAECore(nn.Module):
     # Chen-style scalar epsilon interpolate (z_hat = eps*z + (1-eps)*z_)
     scalar_eps: bool = False
     with_discriminator: bool = True
+    space_to_depth_stem: bool = False
+    depth_to_space_head: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
         self.encoder = UnifiedEncoder(
-            self.image_size, self.intermediate_resolution, dtype=self.dtype,
+            self.image_size, self.intermediate_resolution,
+            space_to_depth_stem=self.space_to_depth_stem, dtype=self.dtype,
             name="encoder")
         self.decoder = UnifiedDecoder(
             self.image_size, self.channels, self.intermediate_resolution,
+            depth_to_space_head=self.depth_to_space_head,
             dtype=self.dtype, name="decoder")
         # channel count after the unified encoder
         n = int(math.log2(self.image_size)
@@ -151,6 +155,8 @@ class ConstrainedAutoencoder(nn.Module):
     z_dim: int = 1024
     intermediate_resolution: int = 16
     dropout_rate: float = 0.1
+    space_to_depth_stem: bool = False
+    depth_to_space_head: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -159,7 +165,10 @@ class ConstrainedAutoencoder(nn.Module):
             z_dim=self.z_dim,
             intermediate_resolution=self.intermediate_resolution,
             dropout_rate=self.dropout_rate, constrained=True,
-            with_discriminator=False, dtype=self.dtype, name="core")
+            with_discriminator=False,
+            space_to_depth_stem=self.space_to_depth_stem,
+            depth_to_space_head=self.depth_to_space_head,
+            dtype=self.dtype, name="core")
 
     def __call__(
         self, x: Array, *, train: bool = False, dropout: bool = False

@@ -37,11 +37,14 @@ class AnoVAEGAN(nn.Module):
     z_dim: int = 128
     intermediate_resolution: int = 8
     dropout_rate: float = 0.1
+    space_to_depth_stem: bool = False
+    depth_to_space_head: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
         self.encoder = UnifiedEncoder(
-            self.image_size, self.intermediate_resolution, dtype=self.dtype,
+            self.image_size, self.intermediate_resolution,
+            space_to_depth_stem=self.space_to_depth_stem, dtype=self.dtype,
             name="encoder")
         n = int(math.log2(self.image_size)
                 - math.log2(self.intermediate_resolution))
@@ -63,10 +66,14 @@ class AnoVAEGAN(nn.Module):
         self.drop = nn.Dropout(self.dropout_rate)
         self.generator = UnifiedDecoder(
             self.image_size, self.channels, self.intermediate_resolution,
-            use_batchnorm=False, dtype=self.dtype, name="generator")
+            use_batchnorm=False,
+            depth_to_space_head=self.depth_to_space_head,
+            dtype=self.dtype, name="generator")
         self.disc_features = UnifiedEncoder(
             self.image_size, self.intermediate_resolution,
-            use_batchnorm=False, dtype=self.dtype, name="disc_features")
+            use_batchnorm=False,
+            space_to_depth_stem=self.space_to_depth_stem,
+            dtype=self.dtype, name="disc_features")
         self.disc_dense = nn.Dense(1, kernel_init=dense_init,
                                    dtype=self.dtype, name="disc_dense")
 
