@@ -197,6 +197,49 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - keep the headline metric
         detail["median_bench_error"] = str(e)[:120]
 
+    # ---- fused residual->mask->prior->median Pallas kernel vs the
+    # unfused chain (separate masking pass + Pallas median): isolates the
+    # benefit of never materialising the intermediate residual volume
+    try:
+        from unsupervised_anomaly_detection_brain_mri_tpu.ops.pallas_postprocess import (
+            fused_residual_median_pallas,
+        )
+
+        xv = jnp.asarray(host_rng.uniform(
+            0, 1, (112, H, H)).astype(np.float32))
+        rv = xv * 0.9
+        mk = jnp.asarray(np.pad(
+            np.ones((112, H - 24, H - 24), np.float32),
+            ((0, 0), (12, 12), (12, 12))))  # 12-px zero shell (gate)
+        qv = jnp.float32(0.5)
+
+        fused = jax.jit(lambda x, r, m, q: fused_residual_median_pallas(
+            x, r, m, q))
+
+        @jax.jit
+        def unfused(x, r, m, q):
+            d = jnp.maximum(x - r, 0.0) * m
+            d = jnp.where(x < q, 0.0, d)
+            return median_filter_3d_auto(d, 5)
+
+        a, b = fused(xv, rv, mk, qv), unfused(xv, rv, mk, qv)
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-5  # exactness on HW
+
+        def run_pp(f):
+            def run(n: int):
+                for _ in range(n):
+                    r = f(xv, rv, mk, qv)
+                _ = float(jnp.sum(r))
+            return run
+
+        vps_fused = _best_throughput(run_pp(fused), 1, 5)
+        vps_unfused = _best_throughput(run_pp(unfused), 1, 5)
+        detail["fused_postprocess_volumes_per_sec"] = round(vps_fused, 2)
+        detail["fused_vs_unfused_postprocess_speedup"] = round(
+            vps_fused / vps_unfused, 2)
+    except Exception as e:  # pragma: no cover
+        detail["fused_bench_error"] = str(e)[:120]
+
     # ---- full on-device eval post-processing wall-clock (warm):
     # residual -> erosion-masked -> prior -> median -> curve summary -> CC
     # filter -> detection counts on a 4-patient x 112-slice cohort

@@ -143,6 +143,24 @@ def _eroded_mask(skullmap, options: Options) -> jnp.ndarray:
 
 
 def _postprocess(x, rec, eroded, prior_q, options: Options):
+    from unsupervised_anomaly_detection_brain_mri_tpu.ops.pallas_postprocess import (
+        fused_gate_ok,
+        fused_residual_median_pallas,
+    )
+
+    # one-pass fused Pallas path (residual+mask+prior+median in a single
+    # HBM read/write) whenever its zero-shell precondition holds — the
+    # parity-default eval config (12 erosion iters, median on); exact
+    # equivalence proven by tests/test_pallas_postprocess.py
+    if jax.default_backend() == "tpu" and fused_gate_ok(
+            bool(options.erodeBrainmask), int(options.erosionIterations),
+            bool(options.medianFiltering)):
+        q = (prior_q if options.applyHyperIntensityPrior
+             else -float("inf"))
+        return fused_residual_median_pallas(
+            jnp.asarray(x), jnp.asarray(rec),
+            jnp.asarray(eroded).astype(jnp.float32), jnp.float32(q),
+            keep_only_positive=bool(options.keepOnlyPositiveResiduals))
     if "pipeline" not in _POSTPROCESS_CACHE:
         _POSTPROCESS_CACHE["pipeline"] = _postprocess_jit()
     return _POSTPROCESS_CACHE["pipeline"](
