@@ -24,12 +24,9 @@ by a brainmask eroded with >= kernel//2 zero-border iterations
 (`fused_gate_ok`); `eval/evaluate.py` falls back to the XLA composition
 otherwise.
 
-The in-kernel erosion equivalence used for `fused_residual_median` with
-`erode_in_kernel=True` (not the default path; kept for completeness):
-iterated cross erosion equals a min over the L1 ball, so for pixels
-farther than `iters` from the border the circular-wrap neighbourhoods
-pltpu.roll produces are identical to zero-border ones, and all nearer
-pixels are forced to 0 by a static border mask.
+The erosion itself stays OUTSIDE the kernel (the eroded mask is an input):
+the eval driver also needs it on the host for MC-dropout masking, so
+fusing it would recompute a mask that is already resident.
 
 The median itself reuses the value-bisection selection of
 `ops/pallas_median.py` (count-below-threshold per round; ~32 VPU rounds to
