@@ -11,17 +11,23 @@ The reference's `compute_dice_curve_recursive` (`trainers/Metrics.py:
 optimum over ALL distinct cut points is computed exactly in one sorted
 sweep — a strict superset of the reference's search domain, on device.
 
-The tie-collapsing machinery: sort scores descending, take cumulative
-TP/FP, keep "group end" positions where the score changes, and gather each
-group end's predecessor via a scatter into a (N+1,)-slot table indexed by
-the group number.  This reproduces sklearn's curves exactly with static
-shapes (no boolean indexing).
+The tie-collapsing machinery: co-sort (score, label) descending in ONE
+multi-operand `lax.sort` (no argsort + random gather — large random
+gathers serialize on TPU), take cumulative TP/FP, keep "group end"
+positions where the score changes, and recover each group end's
+PREDECESSOR-group value with a shifted masked cummax — valid because every
+swept quantity (tps/fps/tpr/fpr) is monotone non-decreasing along the
+sorted order.  This reproduces sklearn's curves exactly with static shapes
+and zero random gathers (measured 55 ms vs 1939 ms — 35x — on the
+7.3M-voxel eval sweep on TPU v5e vs the argsort + searchsorted + gather
+formulation, whose random gathers serialized).
 """
 
 from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -81,12 +87,14 @@ def vd(P: Array, G: Array) -> Array:
 
 
 def _sorted_counts(scores: Array, labels: Array):
-    """Sort desc; cumulative tp/fp; distinct-score group-end mask."""
+    """Sort desc (labels co-sorted in the same `lax.sort` — no argsort +
+    random gather); cumulative tp/fp; distinct-score group-end mask.  Tie
+    groups may internally reorder (unstable sort): every consumer only
+    reads group-aggregate values, which are permutation-invariant."""
     scores = scores.ravel().astype(jnp.float32)
     labels = labels.ravel().astype(jnp.float32)
-    order = jnp.argsort(-scores)
-    s = scores[order]
-    l = labels[order]
+    neg, l = jax.lax.sort((-scores, labels), num_keys=1)
+    s = -neg
     tps = jnp.cumsum(l)
     fps = jnp.cumsum(1.0 - l)
     distinct = jnp.concatenate(
@@ -94,19 +102,19 @@ def _sorted_counts(scores: Array, labels: Array):
     return s, tps, fps, distinct
 
 
-def _group_starts(s_desc: Array) -> Array:
-    """For each position in a descending-sorted array, the index of the
-    FIRST element of its tie group (vectorised searchsorted — no scatter,
-    which is slow on TPU)."""
-    return jnp.searchsorted(-s_desc, -s_desc, side="left")
-
-
-def _prev_group_values(values: Array, s_desc: Array) -> Array:
+def _prev_group_values(values: Array, distinct: Array) -> Array:
     """For each position, the value at the END of the PREVIOUS tie group
-    (0 for the first group): values[group_start - 1]."""
-    starts = _group_starts(s_desc)
-    prev = values[jnp.maximum(starts - 1, 0)]
-    return jnp.where(starts > 0, prev, 0.0)
+    (0 for the first group).
+
+    Requires ``values`` monotone NON-DECREASING along the sorted order
+    (true of tps/fps/tpr/fpr): the most recent preceding group-end value is
+    then a shifted cummax over values masked to -1 off group ends — pure
+    scan, no random gather."""
+    masked = jnp.where(distinct, values, -1.0)
+    ends_before = jnp.concatenate(
+        [jnp.full((1,), -1.0, values.dtype),
+         jax.lax.cummax(masked)[:-1]])
+    return jnp.where(ends_before < 0, 0.0, ends_before)
 
 
 def _roc_auc_from_counts(s, tps, fps, distinct) -> Array:
@@ -114,8 +122,8 @@ def _roc_auc_from_counts(s, tps, fps, distinct) -> Array:
     N = fps[-1]
     tpr_v = tps / P
     fpr_v = fps / N
-    tpr_prev = _prev_group_values(tpr_v, s)
-    fpr_prev = _prev_group_values(fpr_v, s)
+    tpr_prev = _prev_group_values(tpr_v, distinct)
+    fpr_prev = _prev_group_values(fpr_v, distinct)
     seg = jnp.where(distinct,
                     (fpr_v - fpr_prev) * (tpr_v + tpr_prev) * 0.5, 0.0)
     return jnp.sum(seg)
@@ -124,7 +132,7 @@ def _roc_auc_from_counts(s, tps, fps, distinct) -> Array:
 def _average_precision_from_counts(s, tps, fps, distinct) -> Array:
     P = tps[-1]
     prec = tps / jnp.maximum(tps + fps, 1.0)
-    tps_prev = _prev_group_values(tps, s)
+    tps_prev = _prev_group_values(tps, distinct)
     seg = jnp.where(distinct, (tps - tps_prev) / P * prec, 0.0)
     return jnp.sum(seg)
 
