@@ -56,11 +56,14 @@ def _zoom_volume(vol: np.ndarray, target: Tuple[int, int],
 
 
 def _reconstruct_volume(trainer, state, x: np.ndarray, options: Options,
-                        rng: jax.Array, eroded: np.ndarray
-                        ) -> Dict[str, np.ndarray]:
+                        rng: jax.Array, eroded: jnp.ndarray
+                        ) -> Dict[str, Any]:
     """Reconstruct all slices of one volume, with optional MC dropout.
 
-    x: (S, H, W, 1); eroded: (S, H, W) eroded-brainmask floats.  Parity
+    x: (S, H, W, 1) host array; eroded: (S, H, W) eroded-brainmask on
+    DEVICE.  All outputs stay on device — the eval driver never round-trips
+    per-patient volumes through the host (the reference crossed the
+    host<->device boundary per slice, `Evaluation.py:246-250`).  Parity
     (:246-272): every MC reconstruction is MASKED by the eroded brainmask
     BEFORE uncertainty combination, the exported mean reconstruction is the
     mean of the masked samples, and ``log_var`` model outputs (aleatoric
@@ -68,32 +71,41 @@ def _reconstruct_volume(trainer, state, x: np.ndarray, options: Options,
     exactly as the reference does (``log_var=False`` at :265).
     """
     mc = int(options.numMonteCarloSamples or 0)
-    mask = eroded[..., None].astype(np.float32)
+    mask = eroded[..., None].astype(jnp.float32)
+    xd = jnp.asarray(x)
+    # device-returning fast path; duck-typed trainers exposing only the
+    # numpy `reconstruct` contract (e.g. external models) still work
+    rec_dev = getattr(trainer, "reconstruct_device", None)
+    if rec_dev is None:
+        def rec_dev(state, _xd, dropout=False, rng=None):
+            return {k: jnp.asarray(v) for k, v in trainer.reconstruct(
+                state, x, dropout=dropout, rng=rng).items()
+                if k in ("reconstruction", "log_var")}
     if mc > 1:
         recs, log_vars = [], []
         for i in range(mc):
-            r = trainer.reconstruct(state, x, dropout=True,
-                                    rng=jax.random.fold_in(rng, i))
-            recs.append(np.asarray(r["reconstruction"]) * mask)
+            r = rec_dev(state, xd, dropout=True,
+                        rng=jax.random.fold_in(rng, i))
+            recs.append(jnp.asarray(r["reconstruction"]) * mask)
             if "log_var" in r:
-                log_vars.append(np.asarray(r["log_var"]))
-        recs = np.stack(recs, axis=0)
-        sigmas = (np.stack(log_vars, axis=0) if log_vars
-                  else np.zeros_like(recs))
+                log_vars.append(jnp.asarray(r["log_var"]))
+        recs = jnp.stack(recs, axis=0)
+        sigmas = (jnp.stack(log_vars, axis=0) if log_vars
+                  else jnp.zeros_like(recs))
         rec = recs.mean(axis=0)
-        epistemic = np.asarray(M.combined_predictive_uncertainty(
-            jnp.asarray(recs), jnp.zeros_like(jnp.asarray(recs)), axis=0))
-        combined = np.asarray(M.combined_predictive_uncertainty(
-            jnp.asarray(recs), jnp.asarray(sigmas), axis=0)) * mask
+        epistemic = M.combined_predictive_uncertainty(
+            recs, jnp.zeros_like(recs), axis=0)
+        combined = M.combined_predictive_uncertainty(
+            recs, sigmas, axis=0) * mask
         log_var_mean = sigmas.mean(axis=0) if log_vars else None
     else:
-        r = trainer.reconstruct(state, x, dropout=False, rng=rng)
-        rec = np.asarray(r["reconstruction"])
+        r = rec_dev(state, xd, dropout=False, rng=rng)
+        rec = jnp.asarray(r["reconstruction"])
         epistemic = combined = None
-        log_var_mean = (np.asarray(r["log_var"])
+        log_var_mean = (jnp.asarray(r["log_var"])
                         if "log_var" in r else None)
-    l1 = np.sum(np.abs(x - rec), axis=(1, 2, 3))
-    l2 = np.sum(np.sqrt((x - rec) ** 2), axis=(1, 2, 3))
+    l1 = jnp.sum(jnp.abs(xd - rec), axis=(1, 2, 3))
+    l2 = jnp.sum(jnp.sqrt((xd - rec) ** 2), axis=(1, 2, 3))
     return {"reconstruction": rec, "epistemic": epistemic,
             "combined": combined, "log_var": log_var_mean,
             "l1": l1, "l2": l2}
@@ -204,7 +216,7 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
         seg = (seg > 0.5).astype(np.float32)
         skm = (skm > 0.5).astype(np.float32)
         prior_q = float(np.quantile(vol, 0.9))
-        eroded = np.asarray(_eroded_mask(skm, options))
+        eroded = _eroded_mask(skm, options)  # stays on device
 
         t0 = time.time()
         res = _reconstruct_volume(trainer, state, x[..., None], options,
@@ -212,37 +224,45 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
         times.append((time.time() - t0) / max(len(x), 1))
         rec = res["reconstruction"][..., 0]
 
-        diff = np.asarray(_postprocess(x, rec, eroded, prior_q, options))
+        diff = _postprocess(x, rec, eroded, prior_q, options)
 
+        # accumulate on DEVICE — one concat at the end, zero per-patient
+        # host round trips (the downstream curve/CC/metric consumers are
+        # all on-device; host copies are made once, where artifacts or the
+        # reference's host-side exports need them)
         xs.append(x)
         recs.append(rec)
         diffs.append(diff)
         labelmaps.append(seg)
-        l1s.extend(res["l1"].tolist())
-        l2s.extend(res["l2"].tolist())
+        l1s.append(res["l1"])
+        l2s.append(res["l2"])
         if res["epistemic"] is not None:
             epistemics.append(res["epistemic"][..., 0])
             combineds.append(res["combined"][..., 0])
 
+    l1_np = (np.asarray(jnp.concatenate(l1s)) if l1s
+             else np.zeros((0,), np.float32))
+    l2_np = (np.asarray(jnp.concatenate(l2s)) if l2s
+             else np.zeros((0,), np.float32))
     eval_dict = {
         "x": np.concatenate(xs) if xs else np.zeros((0,) + target),
-        "reconstructions": np.concatenate(recs) if recs else None,
-        "diffs": np.concatenate(diffs) if diffs else None,
+        "reconstructions": jnp.concatenate(recs) if recs else None,
+        "diffs": jnp.concatenate(diffs) if diffs else None,
         "labelmaps": np.concatenate(labelmaps) if labelmaps else None,
         "slices_per_patient": [len(x) for x in xs],
-        "l1reconstructionErrors": l1s,
-        "l2reconstructionErrors": l2s,
-        "l1reconstructionErrorMean": float(np.mean(l1s)) if l1s else 0.0,
-        "l1reconstructionErrorVariance": float(np.var(l1s)) if l1s else 0.0,
-        "l2reconstructionErrorMean": float(np.mean(l2s)) if l2s else 0.0,
-        "l2reconstructionErrorVariance": float(np.var(l2s)) if l2s else 0.0,
+        "l1reconstructionErrors": l1_np.tolist(),
+        "l2reconstructionErrors": l2_np.tolist(),
+        "l1reconstructionErrorMean": float(l1_np.mean()) if l1s else 0.0,
+        "l1reconstructionErrorVariance": float(l1_np.var()) if l1s else 0.0,
+        "l2reconstructionErrorMean": float(l2_np.mean()) if l2s else 0.0,
+        "l2reconstructionErrorVariance": float(l2_np.var()) if l2s else 0.0,
         "reconstructionTimes": float(np.mean(times)) if times else 0.0,
         "TPCC": 0, "FPCC": 0, "FNCC": 0,
     }
     if epistemics:
-        eval_dict["epistemic_variance"] = np.concatenate(epistemics)
+        eval_dict["epistemic_variance"] = jnp.concatenate(epistemics)
         # combined aleatoric+epistemic variance (x_recs_var, :265-270)
-        eval_dict["combined_variance"] = np.concatenate(combineds)
+        eval_dict["combined_variance"] = jnp.concatenate(combineds)
     kept = [pt for p, pt in enumerate(patients) if p not in skipped]
     return eval_dict, kept
 
@@ -270,22 +290,31 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
             "by the shape-sanity check (volume min dim < sliceEnd - "
             "sliceStart). Check the --slices/-s/-e range against the "
             "volume shapes.")
-    diffs = jnp.asarray(eval_pc["diffs"])
+    diffs = eval_pc["diffs"]  # device-resident
     labels = jnp.asarray(eval_pc["labelmaps"])
     flat_scores = diffs.ravel()
     flat_labels = labels.ravel() > 0.5
 
+    # ONE bulk device->host copy of the residuals (histogram artifacts and
+    # the reference's host-side exports need host data; everything metric-
+    # shaped stays on device)
+    diffs_np = np.asarray(diffs)
+    eval_pc["diffs"] = diffs_np
+
     # per-class residual histograms (:398-412)
     histogram_range = (0.01, 0.075)
-    hist, _ = np.histogram(eval_pc["diffs"], bins=50,
-                           range=histogram_range)
+    hist, _ = np.histogram(diffs_np, bins=50, range=histogram_range)
     eval_pc["diffHistogram"] = hist
     artifacts.plot_histogram_with_labels(
-        eval_pc["diffs"], eval_pc["labelmaps"], "auto", histogram_range,
+        diffs_np, eval_pc["labelmaps"], "auto", histogram_range,
         "Histogram of difference images in the lesion testing dataset",
         export_pdf=os.path.join(
             eval_dir, "testing_lesions_diffimages_histogram.pdf"))
     if "epistemic_variance" in eval_pc:
+        eval_pc["epistemic_variance"] = np.asarray(
+            eval_pc["epistemic_variance"])
+        eval_pc["combined_variance"] = np.asarray(
+            eval_pc["combined_variance"])
         ev = eval_pc["epistemic_variance"]
         pos = ev[ev >= 0]
         if pos.size:
@@ -348,33 +377,37 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
     else:
         thresholded_p70 = thresholded
 
-    # global + per-patient metrics (:461-491); lesion-detection chunks are
-    # batched across ALL patients into one vmapped dispatch
-    eval_pc["DiceScore"] = float(M.dice(thresholded, labels))
-    per_dice, per_prec, per_rec = [], [], []
-    pred_chunks, gt_chunks, owners = [], [], []
+    # global + per-patient metrics (:461-491): ONE segmented-confusion
+    # dispatch for every dice/precision/recall/TPR/FPR/VD value (the
+    # reference looped 3 metric evaluations per patient); lesion-detection
+    # chunks are batched across ALL patients into one vmapped dispatch
+    n_pat = len(eval_pc["slices_per_patient"])
+    owners_np = np.repeat(np.arange(max(n_pat, 1), dtype=np.int32),
+                          eval_pc["slices_per_patient"])
+    stats = jax.jit(M.segmented_confusion_stats,
+                    static_argnames=("n_patients",))(
+        thresholded, labels, jnp.asarray(owners_np), n_patients=max(n_pat, 1))
+    stats = jax.tree_util.tree_map(
+        lambda v: np.asarray(v).astype(np.float64), stats)  # one fetch
+    with np.errstate(divide="ignore", invalid="ignore"):
+        per_dice = (2.0 * stats["per_tp"]
+                    / (stats["per_p"] + stats["per_g"]))[:n_pat].tolist()
+        per_prec = (stats["per_tp"] / stats["per_p"])[:n_pat].tolist()
+        per_rec = (stats["per_tp"] / stats["per_g"])[:n_pat].tolist()
+    pred_chunks, gt_chunks = [], []
     start = 0
-    for p_idx, (n_slices, patient) in enumerate(
-            zip(eval_pc["slices_per_patient"], patients)):
+    for n_slices in eval_pc["slices_per_patient"]:
         sl = slice(start, start + n_slices)
-        pv = thresholded[sl]
-        gv = labels[sl] > 0.5
-        per_dice.append(float(M.dice(pv, gv)))
-        per_prec.append(float(M.precision(pv, gv)))
-        per_rec.append(float(M.recall(pv, gv)))
-        pc = P.volume_to_chunks(thresholded_p70[sl])
-        gc = P.volume_to_chunks(gv.astype(jnp.float32))
-        pred_chunks.append(pc)
-        gt_chunks.append(gc)
-        owners.extend([p_idx] * pc.shape[0])
+        pred_chunks.append(P.volume_to_chunks(thresholded_p70[sl]))
+        gt_chunks.append(P.volume_to_chunks(
+            (labels[sl] > 0.5).astype(jnp.float32)))
         start += n_slices
     tpcc = fpcc = fncc = 0
     if pred_chunks:
         t, f, n = P.detection_counts_batch(
             jnp.concatenate(pred_chunks), jnp.concatenate(gt_chunks))
-        tpcc = int(jnp.sum(t))
-        fpcc = int(jnp.sum(f))
-        fncc = int(jnp.sum(n))
+        tpcc, fpcc, fncc = (int(v) for v in np.asarray(
+            jnp.stack([jnp.sum(t), jnp.sum(f), jnp.sum(n)])))
     _finite_prec = [p for p in per_prec if np.isfinite(p)]
     eval_pc.update(
         DiceScorePerPatient=per_dice,
@@ -392,20 +425,25 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
         RecallPerPatientStd=float(np.std(per_rec)) if per_rec else 0.0,
         TPCC=tpcc, FPCC=fpcc, FNCC=fncc,
     )
-    tp, fp, tn, fn = (int(v) for v in M.confusion_matrix(thresholded, labels))
+    tp, fp = int(stats["TP"]), int(stats["FP"])
+    tn, fn = int(stats["TN"]), int(stats["FN"])
     eval_pc.update(TP=tp, FP=fp, TN=tn, FN=fn)
-    eval_pc["TPR"] = float(M.tpr(thresholded, labels))
-    eval_pc["FPR"] = float(M.fpr(thresholded, labels))
-    eval_pc["VD"] = float(M.vd(thresholded, labels))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        eval_pc["DiceScore"] = float(
+            np.float64(2 * tp) / (2 * tp + fp + fn))
+        eval_pc["TPR"] = float(np.float64(tp) / (tp + fn))
+        eval_pc["FPR"] = float(np.float64(fp) / (fp + tn))
+        eval_pc["VD"] = float(np.float64(fn) / (tp + fn))
     eval_pc["TPRCC"] = tpcc / (tpcc + fncc) if (tpcc + fncc) > 0 else 0.0
     eval_pc["PrecisionCC"] = tpcc / (tpcc + fpcc) if (tpcc + fpcc) > 0 else 0.0
 
     if options.exportPNGs:
         # the variance heatmap PNGs use the COMBINED predictive variance
         # (x_recs_var, `Evaluation.py:308-309`), not the epistemic-only map
+        eval_pc["reconstructions"] = np.asarray(eval_pc["reconstructions"])
         artifacts.export_slice_images(
             sample_dir, eval_pc["x"], eval_pc["reconstructions"],
-            eval_pc["diffs"], eval_pc["labelmaps"],
+            diffs_np, eval_pc["labelmaps"],
             np.asarray(thresholded),
             epistemic=eval_pc.get("combined_variance",
                                   eval_pc.get("epistemic_variance")))
@@ -418,7 +456,6 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
         )
 
         start = 0
-        diffs_np = np.asarray(diffs)
         for n_slices, patient in zip(eval_pc["slices_per_patient"],
                                      patients):
             sub = np.transpose(diffs_np[start:start + n_slices],
@@ -465,18 +502,20 @@ def determine_threshold_on_labeled_patients(
         ed, _ = _evaluate(ds, trainer, state, sample_dir, options, config,
                           split="VAL")
         if ed["diffs"] is not None and len(ed["diffs"]):
-            all_diffs.append(ed["diffs"])
+            all_diffs.append(ed["diffs"])  # device-resident
             all_labels.append(ed["labelmaps"])
             if options.exportPNGs:
                 # the reference's threshold-fitting pass dumps the same
                 # per-slice PNG artifacts as the TEST pass
                 # (`Evaluation.py:529-567` -> `:302-321`)
+                d_np = np.asarray(ed["diffs"])
+                ep = ed.get("combined_variance",
+                            ed.get("epistemic_variance"))
                 artifacts.export_slice_images(
-                    sample_dir, ed["x"], ed["reconstructions"], ed["diffs"],
-                    ed["labelmaps"], np.zeros_like(ed["diffs"]),
-                    epistemic=ed.get("combined_variance",
-                                     ed.get("epistemic_variance")))
-    diffs = jnp.asarray(np.concatenate(all_diffs))
+                    sample_dir, ed["x"], np.asarray(ed["reconstructions"]),
+                    d_np, ed["labelmaps"], np.zeros_like(d_np),
+                    epistemic=np.asarray(ep) if ep is not None else None)
+    diffs = jnp.concatenate(all_diffs)
     labels = jnp.asarray(np.concatenate(all_labels)) > 0.5
     best_dice, best_thresh = M.best_dice_threshold(
         diffs.ravel(), labels.ravel())

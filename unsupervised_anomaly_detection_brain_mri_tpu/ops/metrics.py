@@ -264,6 +264,45 @@ def dice_at_threshold(scores: Array, labels: Array, t: Array) -> Array:
     return dice((scores > t).astype(jnp.float32), labels)
 
 
+def segmented_confusion_stats(pred: Array, gt: Array, owners: Array,
+                              n_patients: int) -> Dict[str, Array]:
+    """Per-patient and global confusion counts in ONE dispatch.
+
+    Replaces the reference's per-patient metric loop
+    (`utils/Evaluation.py:461-491`) — which costs 3 host round trips per
+    patient — with per-slice integer partial sums segment-summed by the
+    slice's owning patient.  Counts are exact int32 (voxel counts are far
+    below 2^31); every derived ratio (dice/precision/recall/TPR/FPR/VD) is
+    a host-side division of these counts, identical in value to the
+    reference formulas (`trainers/Metrics.py:67-107`).
+
+    pred, gt: (S, ...) binary volumes; owners: (S,) int32 patient index per
+    slice.  Returns per-patient TP / |P| / |G| vectors and global
+    TP/FP/TN/FN.
+    """
+    import jax as _jax
+
+    S = pred.shape[0]
+    p = (pred.reshape(S, -1) > 0.5)
+    g = (gt.reshape(S, -1) > 0.5)
+    tp_s = jnp.sum((p & g).astype(jnp.int32), axis=1)
+    p_s = jnp.sum(p.astype(jnp.int32), axis=1)
+    g_s = jnp.sum(g.astype(jnp.int32), axis=1)
+
+    def seg(v: Array) -> Array:
+        return _jax.ops.segment_sum(v, owners, num_segments=n_patients)
+
+    TP = jnp.sum(tp_s)
+    P = jnp.sum(p_s)
+    G = jnp.sum(g_s)
+    total = jnp.int32(p.size)
+    return {
+        "per_tp": seg(tp_s), "per_p": seg(p_s), "per_g": seg(g_s),
+        "TP": TP, "FP": P - TP, "FN": G - TP,
+        "TN": total - P - G + TP,
+    }
+
+
 def combined_predictive_uncertainty(p: Array, sigmas: Array, axis: int = -1,
                                     log_var: bool = False) -> Array:
     """Kendall & Gal combined aleatoric+epistemic variance

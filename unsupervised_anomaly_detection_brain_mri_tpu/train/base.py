@@ -499,12 +499,13 @@ class BaseTrainer:
         rec = outputs[self.spec.reconstruction_key]
         return {"reconstruction": rec, **outputs}
 
-    def reconstruct(self, state: TrainState, x: Array, dropout: bool = False,
-                    rng: Optional[Array] = None) -> Dict[str, np.ndarray]:
-        """Reconstruct a batch of slices; returns numpy dict with
-        ``reconstruction``, ``l1err``, ``l2err`` (parity:
-        `trainers/AE.py:92-110`).  Under a mesh, the slice batch is sharded
-        over the 'data' axis (multi-chip evaluation)."""
+    def reconstruct_device(self, state: TrainState, x: Array,
+                           dropout: bool = False,
+                           rng: Optional[Array] = None) -> Dict[str, Array]:
+        """Reconstruct a batch of slices, all outputs DEVICE-resident (the
+        eval driver composes this with on-device post-processing — no
+        per-volume host round trip).  Under a mesh, the slice batch is
+        sharded over the 'data' axis (multi-chip evaluation)."""
         if x.ndim < 4:
             x = x[None]
         rng = rng if rng is not None else jax.random.key(0)
@@ -530,6 +531,16 @@ class BaseTrainer:
             out = {k: v[:n_orig] if hasattr(v, "shape") and v.shape
                    and v.shape[0] == xin.shape[0] else v
                    for k, v in out.items()}
+        return out
+
+    def reconstruct(self, state: TrainState, x: Array, dropout: bool = False,
+                    rng: Optional[Array] = None) -> Dict[str, np.ndarray]:
+        """Reconstruct a batch of slices; returns numpy dict with
+        ``reconstruction``, ``l1err``, ``l2err`` (parity:
+        `trainers/AE.py:92-110`)."""
+        if x.ndim < 4:
+            x = x[None]
+        out = self.reconstruct_device(state, x, dropout, rng)
         rec = np.asarray(out["reconstruction"], np.float32)
         res = {k: np.asarray(v) for k, v in out.items()}
         res["l1err"] = float(np.sum(np.abs(x - rec)))
@@ -581,8 +592,8 @@ class VAE_You(VAE):
 
         return pixel, recon
 
-    def reconstruct(self, state: TrainState, x, dropout: bool = False,
-                    rng=None) -> Dict[str, np.ndarray]:
+    def reconstruct_device(self, state: TrainState, x, dropout: bool = False,
+                           rng=None) -> Dict[str, Array]:
         if x.ndim < 4:
             x = x[None]
         c = self.config
@@ -596,13 +607,9 @@ class VAE_You(VAE):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        restored = np.asarray(self._reconstruct_jit[key](
-            variables, jnp.asarray(x), jnp.float32(self.tv_lambda_value)))
-        return {
-            "reconstruction": restored,
-            "l1err": float(np.sum(np.abs(x - restored))),
-            "l2err": float(np.sum(np.sqrt((x - restored) ** 2))),
-        }
+        restored = self._reconstruct_jit[key](
+            variables, jnp.asarray(x), jnp.float32(self.tv_lambda_value))
+        return {"reconstruction": restored}
 
     def determine_best_lambda(self, dataset, state: TrainState) -> float:
         """Parity: `trainers/VAE_You.py:149-173` — sweep tv_lambda over 20%
@@ -683,12 +690,12 @@ class CeVAE(BaseTrainer):
     def compute_losses(self, outputs, batch):
         return L.cevae_loss(batch["x"], batch["x"], outputs)
 
-    def reconstruct(self, state: TrainState, x, dropout: bool = False,
-                    rng=None) -> Dict[str, np.ndarray]:
+    def reconstruct_device(self, state: TrainState, x, dropout: bool = False,
+                           rng=None) -> Dict[str, Array]:
         if x.ndim < 4:
             x = x[None]
         lam = float(self.config.use_gradient_based_restoration)
-        key = ("cevae", lam > 0)
+        key = ("cevae", lam > 0, bool(dropout))
         if key not in self._reconstruct_jit:
             def fn(variables, xin, r):
                 outputs = self.model.apply(
@@ -713,13 +720,8 @@ class CeVAE(BaseTrainer):
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         rng = rng if rng is not None else jax.random.key(0)
-        rec = np.asarray(self._reconstruct_jit[key](
-            variables, jnp.asarray(x), rng))
-        return {
-            "reconstruction": rec,
-            "l1err": float(np.sum(np.abs(x - rec))),
-            "l2err": float(np.sum(np.sqrt((x - rec) ** 2))),
-        }
+        rec = self._reconstruct_jit[key](variables, jnp.asarray(x), rng)
+        return {"reconstruction": rec}
 
 
 class GMVAE(BaseTrainer):
@@ -791,32 +793,27 @@ class GMVAE(BaseTrainer):
 
         return scalar_loss, recon
 
-    def reconstruct(self, state: TrainState, x, dropout: bool = False,
-                    rng=None) -> Dict[str, np.ndarray]:
+    def reconstruct_device(self, state: TrainState, x, dropout: bool = False,
+                           rng=None) -> Dict[str, Array]:
         if x.ndim < 4:
             x = x[None]
         c = self.config
+        if c.restore_steps <= 0:
+            return super().reconstruct_device(state, x, dropout, rng)
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        if c.restore_steps > 0:
-            key = "restore"
-            if key not in self._reconstruct_jit:
-                def fn(vs, xin, lam):
-                    pixel, recon = self._loss_and_recon_fns(vs)
-                    return restore_inputs(pixel, recon, xin, lam,
-                                          c.restore_lr, c.restore_steps)
-                self._reconstruct_jit[key] = jax.jit(fn)
-            rec = np.asarray(self._reconstruct_jit[key](
-                variables, jnp.asarray(x),
-                jnp.float32(max(self.tv_lambda_value, 0.0))))
-        else:
-            rec = super().reconstruct(state, x, dropout, rng)["reconstruction"]
-        return {
-            "reconstruction": rec,
-            "l1err": float(np.sum(np.abs(x - rec))),
-            "l2err": float(np.sum(np.sqrt((x - rec) ** 2))),
-        }
+        key = "restore"
+        if key not in self._reconstruct_jit:
+            def fn(vs, xin, lam):
+                pixel, recon = self._loss_and_recon_fns(vs)
+                return restore_inputs(pixel, recon, xin, lam,
+                                      c.restore_lr, c.restore_steps)
+            self._reconstruct_jit[key] = jax.jit(fn)
+        rec = self._reconstruct_jit[key](
+            variables, jnp.asarray(x),
+            jnp.float32(max(self.tv_lambda_value, 0.0)))
+        return {"reconstruction": rec}
 
 
 class GMVAE_spatial(GMVAE):
