@@ -328,7 +328,9 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
 
     # ROC / PRC / best-dice — one jitted sorted sweep (:414-451)
     t0 = time.time()
-    summary = jax.jit(M.anomaly_curve_summary)(flat_scores, flat_labels)
+    if "curve_summary" not in _POSTPROCESS_CACHE:
+        _POSTPROCESS_CACHE["curve_summary"] = jax.jit(M.anomaly_curve_summary)
+    summary = _POSTPROCESS_CACHE["curve_summary"](flat_scores, flat_labels)
     summary = jax.tree_util.tree_map(np.asarray, summary)
     eval_pc["bestDiceScore"] = float(summary["best_dice"])
     eval_pc["bestThreshold"] = float(summary["best_threshold"])
@@ -384,8 +386,10 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
     n_pat = len(eval_pc["slices_per_patient"])
     owners_np = np.repeat(np.arange(max(n_pat, 1), dtype=np.int32),
                           eval_pc["slices_per_patient"])
-    stats = jax.jit(M.segmented_confusion_stats,
-                    static_argnames=("n_patients",))(
+    if "seg_stats" not in _POSTPROCESS_CACHE:
+        _POSTPROCESS_CACHE["seg_stats"] = jax.jit(
+            M.segmented_confusion_stats, static_argnames=("n_patients",))
+    stats = _POSTPROCESS_CACHE["seg_stats"](
         thresholded, labels, jnp.asarray(owners_np), n_patients=max(n_pat, 1))
     stats = jax.tree_util.tree_map(
         lambda v: np.asarray(v).astype(np.float64), stats)  # one fetch
