@@ -37,3 +37,28 @@ def test_detector_from_workdir(synth_dataset, synth_lesion_dataset):
     if lesion_slices.any() and (~lesion_slices).any():
         assert (res["scores"][lesion_slices].mean()
                 >= res["scores"][~lesion_slices].mean() * 0.5)
+
+
+def test_detect_applies_eval_pipeline_erosion(synth_dataset,
+                                              synth_lesion_dataset):
+    """detect() must post-process exactly like the eval pipeline: with
+    erodeBrainmask on, the residual map is masked by the ERODED brainmask,
+    so an n-iteration erosion zeroes an n-pixel shell at the image border
+    (also the fused Pallas kernel's zero-shell precondition on TPU)."""
+    wd = tempfile.mkdtemp()
+    cfg = Config(trainer="AE", model="autoencoder", batchsize=8,
+                 outputWidth=32, outputHeight=32, zDim=16, numEpochs=1,
+                 compute_dtype="float32")
+    tr = get_trainer("AE")(cfg, workdir=wd)
+    tr.fit(synth_dataset)
+
+    det = AnomalyDetector.from_workdir(
+        wd, options=Options(erosionIterations=3))
+    patient = synth_lesion_dataset.patients_of("TEST")[0]
+    vol, _, _, _ = synth_lesion_dataset.load_volume_and_groundtruth(patient)
+    # all-ones brainmask: only the erosion can zero the border shell
+    res = det.detect(vol, brainmask=np.ones_like(vol))
+    amap = res["anomaly_map"]
+    assert np.all(amap[:, :3, :] == 0) and np.all(amap[:, -3:, :] == 0)
+    assert np.all(amap[:, :, :3] == 0) and np.all(amap[:, :, -3:] == 0)
+    assert np.any(amap != 0)  # interior survives

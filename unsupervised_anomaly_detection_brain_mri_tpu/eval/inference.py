@@ -26,6 +26,7 @@ from unsupervised_anomaly_detection_brain_mri_tpu.data.preprocess import (
     normalize_volume,
 )
 from unsupervised_anomaly_detection_brain_mri_tpu.eval.evaluate import (
+    _eroded_mask,
     _postprocess,
     _zoom_volume,
 )
@@ -81,20 +82,24 @@ class AnomalyDetector:
         else:
             skm = (x > 0.05).astype(np.float32)
         prior_q = float(np.quantile(vol, 0.9))
+        # erode exactly like the evaluation pipeline (also the fused Pallas
+        # path's zero-shell precondition); stays on device
+        eroded = _eroded_mask(skm, o)
 
-        rec = self.trainer.reconstruct(
-            self.state, x[..., None])["reconstruction"][..., 0]
-        diff = np.asarray(_postprocess(x, rec, skm, prior_q, o))
+        rec = self.trainer.reconstruct_device(
+            self.state, jnp.asarray(x[..., None]))["reconstruction"][..., 0]
+        diff = _postprocess(x, rec, eroded, prior_q, o)  # device
 
+        diff_np = np.asarray(diff)
         result: Dict[str, Any] = {
-            "anomaly_map": diff,
-            "reconstruction": rec,
-            "scores": diff.reshape(diff.shape[0], -1).max(axis=1),
+            "anomaly_map": diff_np,
+            "reconstruction": np.asarray(rec),
+            "scores": diff_np.reshape(diff_np.shape[0], -1).max(axis=1),
         }
         t = threshold if threshold is not None else self.threshold
         if t is not None:
             mask = P.filter_small_components(
-                jnp.asarray(diff) > float(t), o.minLesionSize)
+                diff > float(t), o.minLesionSize)
             result["mask"] = np.asarray(mask)
             result["anomalous_voxels"] = int(result["mask"].sum())
         return result
