@@ -9,7 +9,9 @@ sequence.  With ``--synthetic`` the whole sweep runs hermetically on the
 procedural phantom dataset (useful as an integration test).
 
 Usage:
-  python examples/run_all.py --synthetic -E 1 -w 32 -g 32 -s 0 -e 8 -z 16
+  python examples/run_all.py --synthetic -E 1 -w 32 -g 32 -s 0 -e 8 -z 16 -b 8
+  # (-b 8: the synthetic phantom's training pool is smaller than the
+  #  b=128 presets' batch)
   python examples/run_all.py -c config.default.json --download
 """
 

@@ -239,7 +239,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         # non-architecture flags always apply
         config = config.replace(compute_dtype=args.precision,
                                 spaceToDepthStem=args.s2d_stem,
-        depthToSpaceHead=args.d2s_head,
+                                depthToSpaceHead=args.d2s_head,
                                 mesh=MeshConfig(data=args.mesh_data))
     else:
         config = Config().replace(**overrides)
