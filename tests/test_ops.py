@@ -144,3 +144,46 @@ def test_combined_predictive_uncertainty(rng):
     got = np.asarray(M.combined_predictive_uncertainty(
         jnp.asarray(p), jnp.asarray(s), axis=0))
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("dist", ["zero_heavy", "constant", "two_values"])
+def test_curve_metrics_edge_distributions(rng, dist):
+    """Distributions the eval pipeline actually produces: mostly-zero
+    residuals (masked background), all-constant, and binary scores."""
+    n = 4096
+    labels = (rng.uniform(size=n) < 0.08).astype(np.int32)
+    if dist == "zero_heavy":
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        scores[scores < 0.7] = 0.0
+    elif dist == "constant":
+        scores = np.full(n, 0.25, np.float32)
+    else:
+        scores = (rng.uniform(size=n) > 0.5).astype(np.float32) * 0.5
+    np.testing.assert_allclose(
+        float(M.roc_auc(jnp.asarray(scores), jnp.asarray(labels))),
+        skm.roc_auc_score(labels, scores), atol=1e-5)
+    np.testing.assert_allclose(
+        float(M.average_precision(jnp.asarray(scores), jnp.asarray(labels))),
+        skm.average_precision_score(labels, scores), atol=1e-5)
+
+
+def test_segmented_confusion_stats_matches_loop(rng):
+    S, H, W = 12, 8, 8
+    pred = (rng.uniform(size=(S, H, W)) > 0.6)
+    gt = (rng.uniform(size=(S, H, W)) > 0.85)
+    sizes = [5, 4, 3]  # slices per patient
+    owners = np.repeat(np.arange(3, dtype=np.int32), sizes)
+    stats = M.segmented_confusion_stats(
+        jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(owners), 3)
+    start = 0
+    for i, n in enumerate(sizes):
+        p, g = pred[start:start + n], gt[start:start + n]
+        assert int(stats["per_tp"][i]) == int((p & g).sum())
+        assert int(stats["per_p"][i]) == int(p.sum())
+        assert int(stats["per_g"][i]) == int(g.sum())
+        start += n
+    tp = int((pred & gt).sum())
+    assert int(stats["TP"]) == tp
+    assert int(stats["FP"]) == int(pred.sum()) - tp
+    assert int(stats["FN"]) == int(gt.sum()) - tp
+    assert int(stats["TN"]) == pred.size - int(pred.sum()) - int(gt.sum()) + tp
