@@ -163,10 +163,18 @@ def _postprocess(x, rec, eroded, prior_q, options: Options):
     # one-pass fused Pallas path (residual+mask+prior+median in a single
     # HBM read/write) whenever its zero-shell precondition holds — the
     # parity-default eval config (12 erosion iters, median on); exact
-    # equivalence proven by tests/test_pallas_postprocess.py
-    if jax.default_backend() == "tpu" and fused_gate_ok(
-            bool(options.erodeBrainmask), int(options.erosionIterations),
-            bool(options.medianFiltering)):
+    # equivalence proven by tests/test_pallas_postprocess.py.  Mosaic
+    # kernels cannot be auto-partitioned: multi-device-sharded inputs
+    # (mesh evaluation) take the XLA composition instead.
+    def _multi_device(a) -> bool:
+        s = getattr(a, "sharding", None)
+        return s is not None and len(getattr(s, "device_set", ())) > 1
+
+    if (jax.default_backend() == "tpu"
+            and not _multi_device(rec) and not _multi_device(eroded)
+            and fused_gate_ok(
+                bool(options.erodeBrainmask), int(options.erosionIterations),
+                bool(options.medianFiltering))):
         q = (prior_q if options.applyHyperIntensityPrior
              else -float("inf"))
         return fused_residual_median_pallas(
@@ -221,24 +229,26 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
         t0 = time.time()
         res = _reconstruct_volume(trainer, state, x[..., None], options,
                                   jax.random.fold_in(rng, p), eroded)
+        jax.block_until_ready(res["reconstruction"])  # honest timing
         times.append((time.time() - t0) / max(len(x), 1))
         rec = res["reconstruction"][..., 0]
 
         diff = _postprocess(x, rec, eroded, prior_q, options)
 
-        # accumulate on DEVICE — one concat at the end, zero per-patient
-        # host round trips (the downstream curve/CC/metric consumers are
-        # all on-device; host copies are made once, where artifacts or the
-        # reference's host-side exports need them)
+        # residuals accumulate on DEVICE (every downstream curve/CC/metric
+        # consumer is on-device; ONE host copy is made where artifacts need
+        # it).  Reconstructions and MC variance maps are only ever consumed
+        # host-side (PNG/histogram artifacts), so they accumulate on host —
+        # this also bounds HBM pinning to one volume set for big cohorts.
         xs.append(x)
-        recs.append(rec)
+        recs.append(np.asarray(rec))
         diffs.append(diff)
         labelmaps.append(seg)
         l1s.append(res["l1"])
         l2s.append(res["l2"])
         if res["epistemic"] is not None:
-            epistemics.append(res["epistemic"][..., 0])
-            combineds.append(res["combined"][..., 0])
+            epistemics.append(np.asarray(res["epistemic"][..., 0]))
+            combineds.append(np.asarray(res["combined"][..., 0]))
 
     l1_np = (np.asarray(jnp.concatenate(l1s)) if l1s
              else np.zeros((0,), np.float32))
@@ -246,7 +256,7 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
              else np.zeros((0,), np.float32))
     eval_dict = {
         "x": np.concatenate(xs) if xs else np.zeros((0,) + target),
-        "reconstructions": jnp.concatenate(recs) if recs else None,
+        "reconstructions": np.concatenate(recs) if recs else None,
         "diffs": jnp.concatenate(diffs) if diffs else None,
         "labelmaps": np.concatenate(labelmaps) if labelmaps else None,
         "slices_per_patient": [len(x) for x in xs],
@@ -260,9 +270,9 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
         "TPCC": 0, "FPCC": 0, "FNCC": 0,
     }
     if epistemics:
-        eval_dict["epistemic_variance"] = jnp.concatenate(epistemics)
+        eval_dict["epistemic_variance"] = np.concatenate(epistemics)
         # combined aleatoric+epistemic variance (x_recs_var, :265-270)
-        eval_dict["combined_variance"] = jnp.concatenate(combineds)
+        eval_dict["combined_variance"] = np.concatenate(combineds)
     kept = [pt for p, pt in enumerate(patients) if p not in skipped]
     return eval_dict, kept
 
@@ -311,10 +321,6 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
         export_pdf=os.path.join(
             eval_dir, "testing_lesions_diffimages_histogram.pdf"))
     if "epistemic_variance" in eval_pc:
-        eval_pc["epistemic_variance"] = np.asarray(
-            eval_pc["epistemic_variance"])
-        eval_pc["combined_variance"] = np.asarray(
-            eval_pc["combined_variance"])
         ev = eval_pc["epistemic_variance"]
         pos = ev[ev >= 0]
         if pos.size:
@@ -444,7 +450,6 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
     if options.exportPNGs:
         # the variance heatmap PNGs use the COMBINED predictive variance
         # (x_recs_var, `Evaluation.py:308-309`), not the epistemic-only map
-        eval_pc["reconstructions"] = np.asarray(eval_pc["reconstructions"])
         artifacts.export_slice_images(
             sample_dir, eval_pc["x"], eval_pc["reconstructions"],
             diffs_np, eval_pc["labelmaps"],

@@ -86,8 +86,14 @@ class AnomalyDetector:
         # path's zero-shell precondition); stays on device
         eroded = _eroded_mask(skm, o)
 
-        rec = self.trainer.reconstruct_device(
-            self.state, jnp.asarray(x[..., None]))["reconstruction"][..., 0]
+        rec_dev = getattr(self.trainer, "reconstruct_device", None)
+        if rec_dev is not None:
+            rec = rec_dev(
+                self.state, jnp.asarray(x[..., None]))["reconstruction"]
+        else:  # duck-typed trainer with only the numpy reconstruct contract
+            rec = jnp.asarray(self.trainer.reconstruct(
+                self.state, x[..., None])["reconstruction"])
+        rec = rec[..., 0]
         diff = _postprocess(x, rec, eroded, prior_q, o)  # device
 
         diff_np = np.asarray(diff)

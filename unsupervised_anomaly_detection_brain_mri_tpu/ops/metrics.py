@@ -280,8 +280,6 @@ def segmented_confusion_stats(pred: Array, gt: Array, owners: Array,
     slice.  Returns per-patient TP / |P| / |G| vectors and global
     TP/FP/TN/FN.
     """
-    import jax as _jax
-
     S = pred.shape[0]
     p = (pred.reshape(S, -1) > 0.5)
     g = (gt.reshape(S, -1) > 0.5)
@@ -290,7 +288,7 @@ def segmented_confusion_stats(pred: Array, gt: Array, owners: Array,
     g_s = jnp.sum(g.astype(jnp.int32), axis=1)
 
     def seg(v: Array) -> Array:
-        return _jax.ops.segment_sum(v, owners, num_segments=n_patients)
+        return jax.ops.segment_sum(v, owners, num_segments=n_patients)
 
     TP = jnp.sum(tp_s)
     P = jnp.sum(p_s)

@@ -204,10 +204,14 @@ def fused_residual_median_xla(
 
 def fused_residual_median_auto(
     x: Array, rec: Array, eroded_mask: Array, prior_q: Array,
-    *, keep_only_positive: bool = True, kernel: int = 5,
+    *, erosion_iterations: int, keep_only_positive: bool = True,
+    kernel: int = 5,
 ) -> Array:
-    """Pallas on TPU, XLA composition elsewhere."""
-    if jax.default_backend() == "tpu":
+    """Pallas on TPU when the zero-shell precondition provably holds
+    (``erosion_iterations`` = the zero-border erosion count that produced
+    ``eroded_mask``), XLA composition otherwise."""
+    if (jax.default_backend() == "tpu"
+            and fused_gate_ok(True, erosion_iterations, True, kernel)):
         return fused_residual_median_pallas(
             x, rec, eroded_mask, prior_q,
             keep_only_positive=keep_only_positive, kernel=kernel)
