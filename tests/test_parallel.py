@@ -197,3 +197,39 @@ def test_data_parallel_gmvae_step(ctx8):
 
     np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
                                rtol=1e-4)
+
+
+def test_mesh_evaluation_matches_single_device(ctx8, synth_dataset,
+                                               synth_lesion_dataset,
+                                               tmp_path):
+    """The WHOLE eval driver under a data-parallel mesh == single device:
+    sharded reconstruct_device -> device-resident postprocess -> curves ->
+    CC -> segmented confusion stats must reproduce the unmeshed numbers
+    exactly (the mesh path takes the XLA postprocess composition)."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.config import Options
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval.evaluate import (
+        evaluate,
+    )
+    from unsupervised_anomaly_detection_brain_mri_tpu.train import get_trainer
+
+    cfg = Config(trainer="AE", model="autoencoder", batchsize=8,
+                 outputWidth=32, outputHeight=32, zDim=16, numEpochs=1,
+                 compute_dtype="float32")
+    tr1 = get_trainer("AE")(cfg)
+    state = tr1.fit(synth_dataset)
+    tr8 = get_trainer("AE")(cfg, mesh=ctx8)
+
+    def run(tr, sub):
+        opts = Options()
+        opts.paths.sample_dir = str(tmp_path / sub)
+        opts.exportPNGs = False
+        opts.exportVolumes = False
+        return evaluate(synth_lesion_dataset, tr, state, opts, cfg)
+
+    r1 = run(tr1, "single")
+    r8 = run(tr8, "mesh")
+    for k in ("bestDiceScore", "bestThreshold", "diff_AUC", "diff_AUPRC",
+              "DiceScore", "TP", "FP", "TN", "FN", "TPCC", "FPCC", "FNCC"):
+        np.testing.assert_allclose(r1[k], r8[k], rtol=1e-5, err_msg=k)
+    np.testing.assert_allclose(np.asarray(r1["diffs"]),
+                               np.asarray(r8["diffs"]), atol=1e-5)
