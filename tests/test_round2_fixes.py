@@ -360,3 +360,35 @@ def test_cache_key_includes_crop_options():
     d = Dummy(BaseOptions(useCrops=True, cropWidth=64, seed=7))
     keys = {x.cache_key() for x in (a, b, c, d)}
     assert len(keys) == 4
+
+
+def test_log_var_feeds_combined_variance(tiny_trained_ae, lesion_ds):
+    """Aleatoric plumbing (`Evaluation.py:246-272`): a model emitting
+    ``log_var`` must contribute mean(sigmas) to the COMBINED predictive
+    variance (passed raw, log_var=False at `Metrics.py:165-173`), on top
+    of the epistemic term, masked by the eroded brainmask."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval import evaluate
+
+    tr, state, cfg = tiny_trained_ae
+    sigma_value = 0.125
+
+    class Aleatoric:
+        """Wraps the trained AE, adding a constant log_var head."""
+
+        def reconstruct_device(self, state, x, dropout=False, rng=None):
+            out = tr.reconstruct_device(state, x, dropout=dropout, rng=rng)
+            out["log_var"] = jnp.full_like(out["reconstruction"],
+                                           sigma_value)
+            return out
+
+        def __getattr__(self, k):
+            return getattr(tr, k)
+
+    tmp = tempfile.mkdtemp()
+    res = evaluate(lesion_ds, Aleatoric(), state,
+                   _opts(tmp, numMonteCarloSamples=3), cfg)
+    ev, cv = res["epistemic_variance"], res["combined_variance"]
+    inside = cv > 0  # eroded-mask interior with nonzero variance
+    assert inside.any()
+    # combined - epistemic == mean(log_var samples) == sigma_value inside
+    np.testing.assert_allclose((cv - ev)[inside], sigma_value, atol=1e-5)
