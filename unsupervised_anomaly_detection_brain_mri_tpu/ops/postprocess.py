@@ -180,12 +180,29 @@ def component_sizes(labels: Array) -> Array:
 
 
 def per_voxel_component_size(labels: Array) -> Array:
-    """Size of each voxel's component: one scatter-add histogram + one
-    gather.  (Measured on TPU v5e at 110x128x128: 35 ms vs 549 ms for a
-    sort+searchsorted formulation — a single bulk scatter-add amortises
-    fine; it is chains of small scatters/gathers that serialize.)"""
-    sizes = component_sizes(labels)
-    return sizes[labels]
+    """Size of each voxel's component (0 for background voxels).
+
+    Sort-scan-sort formulation, no scatters or random gathers: key-sort
+    (label, position), measure each sorted run's length with a forward
+    cummax of run-start positions and a reverse cummin of run-end
+    positions, then key-sort back by position.  (Measured on TPU v5e at
+    448x128x128: 70 ms vs 165 ms for the scatter-add histogram + gather —
+    the same serialization the metric sweep hit; an earlier
+    sort+SEARCHSORTED variant was 549 ms because the per-voxel
+    searchsorted gathers serialized, the scans here do not.)"""
+    n = labels.size
+    flat = labels.ravel()
+    pos = jnp.arange(n, dtype=jnp.int32)
+    sl, sp = jax.lax.sort((flat, pos), num_keys=1)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sl[1:] != sl[:-1]])
+    is_end = jnp.concatenate([is_start[1:], jnp.ones((1,), bool)])
+    start_pos = jax.lax.cummax(jnp.where(is_start, pos, -1))
+    end_masked = jnp.where(is_end, pos, jnp.int32(n))
+    end_pos = jnp.flip(jax.lax.cummin(jnp.flip(end_masked)))
+    size_sorted = jnp.where(sl > 0, end_pos - start_pos + 1, 0)
+    _, sizes = jax.lax.sort((sp, size_sorted), num_keys=1)
+    return sizes.reshape(labels.shape)
 
 
 def num_components(labels: Array) -> Array:
