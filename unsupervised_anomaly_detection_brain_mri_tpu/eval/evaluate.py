@@ -71,7 +71,6 @@ def _reconstruct_volume(trainer, state, x: np.ndarray, options: Options,
     exactly as the reference does (``log_var=False`` at :265).
     """
     mc = int(options.numMonteCarloSamples or 0)
-    mask = eroded[..., None].astype(jnp.float32)
     xd = jnp.asarray(x)
     # device-returning fast path; duck-typed trainers exposing only the
     # numpy `reconstruct` contract (e.g. external models) still work
@@ -82,6 +81,7 @@ def _reconstruct_volume(trainer, state, x: np.ndarray, options: Options,
                 state, x, dropout=dropout, rng=rng).items()
                 if k in ("reconstruction", "log_var")}
     if mc > 1:
+        mask = eroded[..., None].astype(jnp.float32)
         recs, log_vars = [], []
         for i in range(mc):
             r = rec_dev(state, xd, dropout=True,
@@ -154,6 +154,67 @@ def _eroded_mask(skullmap, options: Options) -> jnp.ndarray:
         jnp.asarray(skullmap), jnp.bool_(options.erodeBrainmask))
 
 
+def _erode_postprocess_jit(erosion_iters: int, fused: bool, keep_pos: bool):
+    """ONE dispatch for erosion + residual post-processing (non-MC path —
+    when MC masking needs the eroded mask separately, `_eroded_mask` +
+    `_postprocess` run as two)."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.ops.pallas_postprocess import (
+        fused_residual_median_pallas,
+    )
+
+    @jax.jit
+    def fn(x, rec, skm, prior_q, erode, use_prior, use_median):
+        eroded = jnp.where(
+            erode, P.binary_erosion_2d(skm, erosion_iters),
+            skm.astype(bool))
+        if fused:
+            q = jnp.where(use_prior, prior_q, -jnp.inf)
+            return fused_residual_median_pallas(
+                x, rec, eroded.astype(jnp.float32), q,
+                keep_only_positive=keep_pos)
+        diff = (jnp.maximum(x - rec, 0.0) if keep_pos
+                else jnp.abs(x - rec))
+        diff = diff * eroded.astype(diff.dtype)
+        diff = jnp.where(use_prior & (x < prior_q), 0.0, diff)
+        from unsupervised_anomaly_detection_brain_mri_tpu.ops.pallas_median import (
+            median_filter_3d_auto,
+        )
+
+        filtered = median_filter_3d_auto(diff, 5)
+        return jnp.where(use_median, filtered, diff)
+
+    return fn
+
+
+def _erode_and_postprocess(x, rec, skm, prior_q, options: Options):
+    """Erosion + residual pipeline fused into one jitted dispatch."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.ops.pallas_postprocess import (
+        fused_gate_ok,
+    )
+
+    def _multi_device(a) -> bool:
+        s = getattr(a, "sharding", None)
+        return s is not None and len(getattr(s, "device_set", ())) > 1
+
+    fused = (jax.default_backend() == "tpu"
+             and not _multi_device(rec)
+             and fused_gate_ok(
+                 bool(options.erodeBrainmask),
+                 int(options.erosionIterations),
+                 bool(options.medianFiltering)))
+    key = ("erode_pp", int(options.erosionIterations), fused,
+           bool(options.keepOnlyPositiveResiduals))
+    if key not in _POSTPROCESS_CACHE:
+        _POSTPROCESS_CACHE[key] = _erode_postprocess_jit(
+            int(options.erosionIterations), fused,
+            bool(options.keepOnlyPositiveResiduals))
+    return _POSTPROCESS_CACHE[key](
+        jnp.asarray(x), jnp.asarray(rec), jnp.asarray(skm),
+        jnp.float32(prior_q), jnp.bool_(options.erodeBrainmask),
+        jnp.bool_(options.applyHyperIntensityPrior),
+        jnp.bool_(options.medianFiltering))
+
+
 def _postprocess(x, rec, eroded, prior_q, options: Options):
     from unsupervised_anomaly_detection_brain_mri_tpu.ops.pallas_postprocess import (
         fused_gate_ok,
@@ -224,7 +285,10 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
         seg = (seg > 0.5).astype(np.float32)
         skm = (skm > 0.5).astype(np.float32)
         prior_q = float(np.quantile(vol, 0.9))
-        eroded = _eroded_mask(skm, options)  # stays on device
+        mc = int(options.numMonteCarloSamples or 0)
+        # the standalone eroded mask is only needed to mask MC samples;
+        # otherwise erosion folds into the postprocess dispatch
+        eroded = _eroded_mask(skm, options) if mc > 1 else None
 
         t0 = time.time()
         res = _reconstruct_volume(trainer, state, x[..., None], options,
@@ -233,7 +297,10 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
         times.append((time.time() - t0) / max(len(x), 1))
         rec = res["reconstruction"][..., 0]
 
-        diff = _postprocess(x, rec, eroded, prior_q, options)
+        if mc > 1:
+            diff = _postprocess(x, rec, eroded, prior_q, options)
+        else:
+            diff = _erode_and_postprocess(x, rec, skm, prior_q, options)
 
         # residuals accumulate on DEVICE (every downstream curve/CC/metric
         # consumer is on-device; ONE host copy is made where artifacts need

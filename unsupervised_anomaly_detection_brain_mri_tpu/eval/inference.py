@@ -26,8 +26,7 @@ from unsupervised_anomaly_detection_brain_mri_tpu.data.preprocess import (
     normalize_volume,
 )
 from unsupervised_anomaly_detection_brain_mri_tpu.eval.evaluate import (
-    _eroded_mask,
-    _postprocess,
+    _erode_and_postprocess,
     _zoom_volume,
 )
 from unsupervised_anomaly_detection_brain_mri_tpu.ops import postprocess as P
@@ -82,9 +81,6 @@ class AnomalyDetector:
         else:
             skm = (x > 0.05).astype(np.float32)
         prior_q = float(np.quantile(vol, 0.9))
-        # erode exactly like the evaluation pipeline (also the fused Pallas
-        # path's zero-shell precondition); stays on device
-        eroded = _eroded_mask(skm, o)
 
         rec_dev = getattr(self.trainer, "reconstruct_device", None)
         if rec_dev is not None:
@@ -94,7 +90,9 @@ class AnomalyDetector:
             rec = jnp.asarray(self.trainer.reconstruct(
                 self.state, x[..., None])["reconstruction"])
         rec = rec[..., 0]
-        diff = _postprocess(x, rec, eroded, prior_q, o)  # device
+        # erosion + residual pipeline exactly like the evaluation pipeline,
+        # as ONE device dispatch
+        diff = _erode_and_postprocess(x, rec, skm, prior_q, o)
 
         diff_np = np.asarray(diff)
         result: Dict[str, Any] = {
