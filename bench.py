@@ -20,6 +20,7 @@ value fetch, and each measurement takes the best of ``TRIALS`` runs.
 """
 
 import json
+import signal
 import time
 
 import jax
@@ -27,6 +28,27 @@ import jax.numpy as jnp
 import numpy as np
 
 TRIALS = 2  # best-of-2: bounded runtime under the driver's bench timeout
+
+# watchdog: the remote-TPU tunnel can hang mid-call for minutes; if that
+# happens late in the run, emit the headline JSON from what was already
+# measured instead of timing out with nothing.  Best-effort — a hang
+# inside a C-level wait may delay signal delivery.  Normal warm runtime
+# is ~350 s (persistent compilation cache).
+WATCHDOG_SECS = 540
+_partial = {"value": None, "vs_baseline": None, "detail": None}
+
+
+def _watchdog(signum, frame):  # pragma: no cover - only fires on hangs
+    if _partial["value"] is not None:
+        print(json.dumps({
+            "metric": "brainweb_ae_train_throughput",
+            "value": _partial["value"],
+            "unit": "slices/sec/chip",
+            "vs_baseline": _partial["vs_baseline"] or 0.0,
+            "detail": {**(_partial["detail"] or {}),
+                       "watchdog": "tunnel hang - partial results"},
+        }), flush=True)
+    raise SystemExit(0 if _partial["value"] is not None else 1)
 
 
 def _best_throughput(fn, units_per_call: int, n_calls: int) -> float:
@@ -40,6 +62,8 @@ def _best_throughput(fn, units_per_call: int, n_calls: int) -> float:
 
 
 def main() -> None:
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(WATCHDOG_SECS)
     from unsupervised_anomaly_detection_brain_mri_tpu.utils.misc import (
         enable_persistent_compilation_cache,
     )
@@ -77,6 +101,7 @@ def main() -> None:
     run(1)  # compile + warmup
     native_sps = _best_throughput(run, n_slices, 4)
     detail["native_ae_slices_per_sec"] = round(native_sps, 1)
+    _partial.update(value=round(native_sps, 1), detail=detail)
     # marginal slope between 4- and 16-epoch runs: device-side rate with the
     # remote-tunnel's fixed dispatch latency cancelled out
     t4 = time.perf_counter(); run(4); t4 = time.perf_counter() - t4
@@ -111,6 +136,7 @@ def main() -> None:
     run_baseline(2)  # compile + warmup
     baseline_sps = _best_throughput(run_baseline, B, 8)
     detail["tf1_shaped_baseline_slices_per_sec"] = round(baseline_sps, 1)
+    _partial["vs_baseline"] = round(native_sps / baseline_sps, 2)
 
     # ---- opt-in NON-PARITY perf mode: s2d stem + d2s decoder head.
     # The parity decoder materialises a 128x128x128x32 bf16 feature map
@@ -305,6 +331,7 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         detail["restoration_bench_error"] = str(e)[:120]
 
+    signal.alarm(0)
     print(json.dumps({
         "metric": "brainweb_ae_train_throughput",
         "value": round(native_sps, 1),
