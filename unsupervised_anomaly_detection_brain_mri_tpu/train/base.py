@@ -575,19 +575,23 @@ class VAE_You(VAE):
         if self.tv_lambda_value < 0:
             self.determine_best_lambda(dataset, state)
 
-    def _pixel_loss_fn(self, variables):
-        def pixel(x_in: Array) -> Array:
+    def _pixel_loss_fn(self, variables, dropout: bool = False):
+        """(x, rng) closures for the restoration loop.  ``dropout=True``
+        applies dropout during restoration forwards — the reference does
+        this "only during MC sampling" (`trainers/VAE_You.py:134`)."""
+
+        def pixel(x_in: Array, r: Array) -> Array:
             outputs = self.model.apply(
-                variables, x_in, train=False, dropout=False,
-                rngs=self._rng_streams(jax.random.key(0)))
+                variables, x_in, train=False, dropout=dropout,
+                rngs=self._rng_streams(r))
             rec = L.sum_per_sample(L.l1_elem(x_in, outputs["x_hat"]))
             kl = L.vae_kl(outputs["z_mu"], outputs["z_sigma"])
             return rec + kl
 
-        def recon(x_in: Array) -> Array:
+        def recon(x_in: Array, r: Array) -> Array:
             outputs = self.model.apply(
-                variables, x_in, train=False, dropout=False,
-                rngs=self._rng_streams(jax.random.key(0)))
+                variables, x_in, train=False, dropout=dropout,
+                rngs=self._rng_streams(r))
             return outputs["x_hat"]
 
         return pixel, recon
@@ -597,18 +601,19 @@ class VAE_You(VAE):
         if x.ndim < 4:
             x = x[None]
         c = self.config
-        key = "restore"
+        key = ("restore", bool(dropout))
         if key not in self._reconstruct_jit:
-            def fn(variables, xin, lam):
-                pixel, recon = self._pixel_loss_fn(variables)
+            def fn(variables, xin, lam, r):
+                pixel, recon = self._pixel_loss_fn(variables, bool(dropout))
                 return restore_inputs(pixel, recon, xin, lam,
-                                      c.restore_lr, c.restore_steps)
+                                      c.restore_lr, c.restore_steps, rng=r)
             self._reconstruct_jit[key] = jax.jit(fn)
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
+        rng = rng if rng is not None else jax.random.key(0)
         restored = self._reconstruct_jit[key](
-            variables, jnp.asarray(x), jnp.float32(self.tv_lambda_value))
+            variables, jnp.asarray(x), jnp.float32(self.tv_lambda_value), rng)
         return {"reconstruction": restored}
 
     def determine_best_lambda(self, dataset, state: TrainState) -> float:
@@ -703,10 +708,14 @@ class CeVAE(BaseTrainer):
                     rngs=self._rng_streams(r))
                 rec = outputs["x_hat"]
                 if lam > 0:
+                    # same rng as the reconstruction forward: the reference
+                    # evaluates anomaly grads and reconstruction in ONE
+                    # sess.run, sharing a single dropout mask
+                    # (`trainers/ceVAE.py:128-139`)
                     def loss_vae(x_in):
                         o = self.model.apply(
-                            variables, x_in, x_in, train=False, dropout=False,
-                            rngs=self._rng_streams(jax.random.key(0)))
+                            variables, x_in, x_in, train=False,
+                            dropout=dropout, rngs=self._rng_streams(r))
                         recs = L.sum_per_sample(L.l1_elem(x_in, o["x_hat"]))
                         kl = L.vae_kl(o["z_mu"], o["z_sigma"])
                         return recs + kl
@@ -773,11 +782,15 @@ class GMVAE(BaseTrainer):
         print(f"Best lambda: {self.tv_lambda_value}")
         return self.tv_lambda_value
 
-    def _loss_and_recon_fns(self, variables):
-        def scalar_loss(x_in: Array) -> Array:
+    def _loss_and_recon_fns(self, variables, dropout: bool = False):
+        """(x, rng) closures for the restoration loop; ``dropout=True``
+        enables MC-sampling dropout (`trainers/GMVAE.py:186` — "apply only
+        during MC sampling")."""
+
+        def scalar_loss(x_in: Array, r: Array) -> Array:
             outputs = self.model.apply(
-                variables, x_in, train=False, dropout=False,
-                rngs=self._rng_streams(jax.random.key(0)))
+                variables, x_in, train=False, dropout=dropout,
+                rngs=self._rng_streams(r))
             losses = L.gmvae_loss(x_in, outputs, self.config.dim_c,
                                   self.config.c_lambda, self.spatial)
             # the reference restores with d(mean loss)/dx
@@ -785,10 +798,10 @@ class GMVAE(BaseTrainer):
             return jnp.broadcast_to(losses["loss"] / x_in.shape[0],
                                     (x_in.shape[0],))
 
-        def recon(x_in: Array) -> Array:
+        def recon(x_in: Array, r: Array) -> Array:
             outputs = self.model.apply(
-                variables, x_in, train=False, dropout=False,
-                rngs=self._rng_streams(jax.random.key(0)))
+                variables, x_in, train=False, dropout=dropout,
+                rngs=self._rng_streams(r))
             return outputs["xz_mu"]
 
         return scalar_loss, recon
@@ -803,16 +816,17 @@ class GMVAE(BaseTrainer):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        key = "restore"
+        key = ("restore", bool(dropout))
         if key not in self._reconstruct_jit:
-            def fn(vs, xin, lam):
-                pixel, recon = self._loss_and_recon_fns(vs)
+            def fn(vs, xin, lam, r):
+                pixel, recon = self._loss_and_recon_fns(vs, bool(dropout))
                 return restore_inputs(pixel, recon, xin, lam,
-                                      c.restore_lr, c.restore_steps)
+                                      c.restore_lr, c.restore_steps, rng=r)
             self._reconstruct_jit[key] = jax.jit(fn)
+        rng = rng if rng is not None else jax.random.key(0)
         rec = self._reconstruct_jit[key](
             variables, jnp.asarray(x),
-            jnp.float32(max(self.tv_lambda_value, 0.0)))
+            jnp.float32(max(self.tv_lambda_value, 0.0)), rng)
         return {"reconstruction": rec}
 
 

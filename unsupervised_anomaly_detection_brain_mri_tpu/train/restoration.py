@@ -25,19 +25,24 @@ from unsupervised_anomaly_detection_brain_mri_tpu.train.losses import (
 
 Array = jnp.ndarray
 
-# pixel_loss_fn(x) -> per-sample loss vector (B,) — closes over params; must
-# be pure and dropout-free (eval-time restoration).
-PixelLossFn = Callable[[Array], Array]
+# pixel_loss_fn(x, rng) -> per-sample loss vector (B,) — closes over params.
+# The rng drives dropout when the trainer restores with MC dropout on
+# (`trainers/VAE_You.py:134` — "apply only during MC sampling"); trainers
+# restoring deterministically simply ignore it.
+PixelLossFn = Callable[[Array, Array], Array]
 
 
-def restoration_grads(pixel_loss_fn: PixelLossFn, recon_fn: Callable[[Array], Array],
-                      x: Array, tv_lambda: Array) -> Array:
+def restoration_grads(pixel_loss_fn: PixelLossFn,
+                      recon_fn: Callable[[Array, Array], Array],
+                      x: Array, tv_lambda: Array, rng: Array) -> Array:
     """d(pixel_loss + tv_lambda*TV(x - recon(x))) / dx, like the reference
-    graph `trainers/VAE_You.py:53-54`."""
+    graph `trainers/VAE_You.py:53-54`.  Both forwards receive the SAME rng:
+    in the reference a single ``sess.run`` evaluates the pixel loss and the
+    TV reconstruction with one shared dropout mask."""
 
     def total(x_in: Array) -> Array:
-        pixel = pixel_loss_fn(x_in)
-        restore = tv_lambda * total_variation(x_in - recon_fn(x_in))
+        pixel = pixel_loss_fn(x_in, rng)
+        restore = tv_lambda * total_variation(x_in - recon_fn(x_in, rng))
         return jnp.sum(pixel + restore)
 
     return jax.grad(total)(x)
@@ -45,17 +50,24 @@ def restoration_grads(pixel_loss_fn: PixelLossFn, recon_fn: Callable[[Array], Ar
 
 def restore_inputs(
     pixel_loss_fn: PixelLossFn,
-    recon_fn: Callable[[Array], Array],
+    recon_fn: Callable[[Array, Array], Array],
     x: Array,
     tv_lambda: Array,
     restore_lr: float,
     restore_steps: int,
+    rng: Array = None,
 ) -> Array:
     """Iterative input restoration: ``x <- x - lr * grads`` for
-    ``restore_steps`` iterations, entirely on device."""
+    ``restore_steps`` iterations, entirely on device.  The rng is folded
+    per step so dropout-on restoration (MC sampling) draws a fresh mask
+    every iteration, matching the reference's per-``sess.run`` sampling
+    (`trainers/VAE_You.py:130-139`)."""
+    if rng is None:
+        rng = jax.random.key(0)
 
-    def body(_, restored):
-        g = restoration_grads(pixel_loss_fn, recon_fn, restored, tv_lambda)
+    def body(i, restored):
+        g = restoration_grads(pixel_loss_fn, recon_fn, restored, tv_lambda,
+                              jax.random.fold_in(rng, i))
         return restored - restore_lr * g
 
     return jax.lax.fori_loop(0, restore_steps, body, x)
