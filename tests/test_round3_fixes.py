@@ -6,7 +6,14 @@
    (`trainers/VAE_You.py:134`, `trainers/GMVAE.py:186`) — and ceVAE's
    gradient path must share the forward's dropout mask
    (`trainers/ceVAE.py:128-139`).
+2. Geometry-preserving residual export: residual volumes are de-zoomed to
+   native resolution and written into the source scan's geometry
+   (`utils/Evaluation.py:323-334`, `utils/NII.py:107-109`).
+3. Heatmap artifact parity: squash + colorbar + jet without per-slice
+   renormalisation (`utils/Evaluation.py:70-79, 318-321`).
 """
+
+import os
 
 import numpy as np
 import jax
@@ -96,3 +103,130 @@ def test_mc_eval_nonzero_epistemic_variance_restoration(
     ev = res["epistemic_variance"]
     assert np.all(np.isfinite(ev))
     assert float(np.max(ev)) > 0.0, "MC samples identical -> dropout ignored"
+
+
+# ---------------------------------------------------------------------------
+# 2. geometry-preserving residual export
+
+
+def test_nifti_affine_roundtrip(tmp_path):
+    from unsupervised_anomaly_detection_brain_mri_tpu.data import formats
+
+    affine = [[0.0, -0.9, 0.0, 12.5],
+              [1.1, 0.0, 0.0, -7.0],
+              [0.0, 0.0, 1.2, 3.0]]
+    data = np.arange(4 * 5 * 6, dtype=np.float32).reshape(4, 5, 6)
+    path = str(tmp_path / "vol.nii.gz")
+    formats.write_nifti(path, data, affine=affine)
+    back, meta = formats.read_nifti(path)
+    np.testing.assert_allclose(back, data)
+    np.testing.assert_allclose(meta["affine"], affine, atol=1e-5)
+    # pixdim = column norms of the rotation part
+    np.testing.assert_allclose(meta["pixdim"], (1.1, 0.9, 1.2), atol=1e-5)
+
+
+def test_export_residual_volume_native_geometry(tmp_path):
+    from unsupervised_anomaly_detection_brain_mri_tpu.data import formats
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval.evaluate import (
+        export_residual_volume,
+    )
+
+    # source scan: (64, 70, 20), iterated along axis 1 (70 slices of 64x20)
+    shape, axis = (64, 70, 20), 1
+    geometry = {
+        "shape": shape, "axis_index": axis,
+        "pixdim": (0.9, 1.1, 1.2),
+        "affine": [[0.9, 0, 0, -30.0], [0, 1.1, 0, 5.0], [0, 0, 1.2, 0.0]],
+        "slice_range": (4, 16),
+    }
+    rng = np.random.default_rng(0)
+    diff = rng.random((12, 32, 32), np.float32)  # model resolution
+    path = str(tmp_path / "p0.nii.gz")
+    native = export_residual_volume(path, diff, geometry, threshold=0.8)
+
+    back, meta = formats.read_nifti(path)
+    # full native extent + original geometry
+    assert back.shape == shape
+    np.testing.assert_allclose(meta["affine"], geometry["affine"],
+                               atol=1e-5)
+    np.testing.assert_allclose(back, native, atol=1e-6)
+    # out-of-range slices zeroed, in-range slices carry the de-zoomed data
+    assert np.all(back.take(range(0, 4), axis=axis) == 0)
+    assert np.all(back.take(range(16, 70), axis=axis) == 0)
+    assert float(np.abs(back.take(range(4, 16), axis=axis)).max()) > 0
+    # de-zoom matches scipy on the slice grid (reference `:323-325`)
+    from scipy import ndimage as ndi
+
+    expect = ndi.zoom(diff, (1.0, 64 / 32, 20 / 32))
+    got = np.moveaxis(back, axis, 2)[:, :, 4:16]
+    np.testing.assert_allclose(np.transpose(got, (2, 0, 1)), expect,
+                               atol=1e-5)
+    # binary twin thresholded at native resolution
+    binary, _ = formats.read_nifti(str(tmp_path / "p0.binary.nii.gz"))
+    np.testing.assert_array_equal(binary, (back > 0.8).astype(np.float32))
+
+
+def test_evaluate_exports_native_geometry(synth_lesion_dataset, tmp_path):
+    """End-to-end: exportVolumes writes volumes in the dataset's native
+    frame (full extent, zeros outside the evaluated slice range)."""
+    import glob
+
+    from unsupervised_anomaly_detection_brain_mri_tpu.data import formats
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval import evaluate
+
+    tr, state = _mk("AE", "autoencoder")
+    opts = Options(paths=PathConfig(sample_dir=str(tmp_path)),
+                   erosionIterations=1, minLesionSize=2,
+                   exportVolumes=True)
+    res = evaluate(synth_lesion_dataset, tr, state, opts, tr.config)
+    exports = sorted(glob.glob(os.path.join(
+        res["eval_dir"], "samples_test_PC", "*.nii.gz")))
+    assert exports, "exportVolumes produced no NIfTI files"
+    vols = [p for p in exports if not p.endswith(".binary.nii.gz")]
+    patient = synth_lesion_dataset.patients_of("TEST")[0]
+    vol, _, _, _ = synth_lesion_dataset.load_volume_and_groundtruth(patient)
+    back, _ = formats.read_nifti(vols[0])
+    assert back.shape == vol.shape
+
+
+# ---------------------------------------------------------------------------
+# 3. heatmap artifact parity
+
+
+def test_residual_heatmap_squash_and_colorbar():
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval.artifacts import (
+        add_colorbar,
+        residual_heatmap,
+        squash_intensities,
+    )
+
+    # logistic squash maps residual scale [0, 0.2] onto ~[0, 1)
+    assert squash_intensities(np.float32(0.0)) == 0.0
+    assert 0.99 < squash_intensities(np.float32(0.2)) <= 1.0
+    ramp = add_colorbar(np.zeros((16, 16), np.float32))
+    np.testing.assert_allclose(ramp[:, -1], np.arange(16) / 16.0)
+
+    heat = residual_heatmap(np.zeros((16, 16), np.float32))
+    assert heat.shape == (16, 16, 3)
+    body = heat[:, :-1]
+    # no per-slice renormalisation: a zero residual is uniformly jet(0)
+    assert np.all(body == body[0, 0])
+    # the colorbar column spans the colormap
+    assert len(np.unique(heat[:, -1].reshape(-1, 3), axis=0)) > 8
+
+
+def test_heatmaps_comparable_across_slices(tmp_path):
+    """Two slices with different maxima must NOT be renormalised to the
+    same heatmap (the pre-fix min-max normalisation erased scale)."""
+    import imageio.v2 as imageio
+
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval import artifacts
+
+    d = str(tmp_path)
+    x = np.zeros((2, 8, 8), np.float32)
+    diffs = np.stack([np.full((8, 8), 0.02, np.float32),
+                      np.full((8, 8), 0.2, np.float32)])
+    artifacts.export_slice_images(d, x, x, diffs, x, x)
+    h0 = imageio.imread(os.path.join(d, "0_heatmap.png"))
+    h1 = imageio.imread(os.path.join(d, "1_heatmap.png"))
+    assert not np.array_equal(h0[:, :-1], h1[:, :-1])

@@ -443,8 +443,16 @@ class BaseDataset:
 
     def load_volume_and_groundtruth(self, patient: Dict[str, Any]):
         """(vol, gt, brainmask, skullmap) numpy arrays with axial slices on
-        axis 2, as consumed by eval/evaluate.py."""
+        axis 2, as consumed by eval/evaluate.py.
+
+        Side effect: ``self.last_geometry`` records the source volume's
+        native geometry (shape, iteration-axis index, pixdim, affine) so
+        the eval driver can re-export residual volumes into the original
+        scan's frame (`utils/Evaluation.py:323-334`)."""
         vol, seg, skullmap = self.load_volumes(patient)
+        geo = vol.geometry()
+        geo["axis_index"] = geo["view_mapping"][self.options.axis]
+        self.last_geometry = geo
 
         def to_axial_last(a: np.ndarray, mapping) -> np.ndarray:
             return np.moveaxis(a, mapping[self.options.axis], 2)

@@ -79,15 +79,42 @@ def read_nifti(path: str) -> Tuple[np.ndarray, Dict[str, Any]]:
     elif scl_inter not in (0.0,):
         data = data + scl_inter
     meta = {"pixdim": pixdim[1:4], "format": "nifti"}
+    # voxel->world geometry: sform rows when sform_code > 0, else a
+    # diagonal affine from pixdim (the reference keeps SimpleITK's
+    # origin/direction for residual re-export, `utils/NII.py:18-21`)
+    sform_code = struct.unpack_from(byte_order + "h", hdr, 254)[0]
+    if sform_code > 0:
+        srows = [struct.unpack_from(byte_order + "4f", hdr, off)
+                 for off in (280, 296, 312)]
+        meta["affine"] = [list(r) for r in srows]
+    else:
+        meta["affine"] = [[pixdim[1], 0.0, 0.0, 0.0],
+                          [0.0, pixdim[2], 0.0, 0.0],
+                          [0.0, 0.0, pixdim[3], 0.0]]
     return data, meta
 
 
 def write_nifti(path: str, data: np.ndarray,
-                pixdim: Tuple[float, float, float] = (1.0, 1.0, 1.0)
-                ) -> None:
+                pixdim: Tuple[float, float, float] = (1.0, 1.0, 1.0),
+                affine=None) -> None:
+    """Write a float32 single-file NIfTI-1.
+
+    ``affine`` (3x4 or 4x4 voxel->world rows) takes precedence: it is
+    written as the sform and pixdim is derived from its column norms, so
+    volumes exported into a source scan's geometry overlay correctly in a
+    viewer (parity with the reference keeping SimpleITK origin/direction,
+    `utils/NII.py:18-21`, `utils/Evaluation.py:323-334`)."""
     data = np.asarray(data, np.float32)
     if data.ndim != 3:
         raise ValueError("write_nifti expects 3-D data")
+    if affine is not None:
+        aff = np.asarray(affine, np.float64)[:3, :4]
+        pixdim = tuple(float(np.linalg.norm(aff[:, j])) for j in range(3))
+        srows = aff
+    else:
+        srows = np.array([[pixdim[0], 0, 0, 0],
+                          [0, pixdim[1], 0, 0],
+                          [0, 0, pixdim[2], 0]], np.float64)
     hdr = bytearray(352)
     struct.pack_into("<i", hdr, 0, 348)
     struct.pack_into("<8h", hdr, 40, 3, *data.shape, 1, 1, 1, 1)
@@ -97,9 +124,9 @@ def write_nifti(path: str, data: np.ndarray,
     struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
     struct.pack_into("<f", hdr, 112, 1.0)  # scl_slope
     struct.pack_into("<h", hdr, 254, 1)  # sform_code
-    struct.pack_into("<4f", hdr, 280, pixdim[0], 0, 0, 0)
-    struct.pack_into("<4f", hdr, 296, 0, pixdim[1], 0, 0)
-    struct.pack_into("<4f", hdr, 312, 0, 0, pixdim[2], 0)
+    struct.pack_into("<4f", hdr, 280, *srows[0])
+    struct.pack_into("<4f", hdr, 296, *srows[1])
+    struct.pack_into("<4f", hdr, 312, *srows[2])
     hdr[344:348] = b"n+1\x00"
     payload = bytes(hdr) + data.tobytes(order="F")
     with _open_maybe_gz(path, "wb") as f:

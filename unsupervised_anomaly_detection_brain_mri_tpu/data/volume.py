@@ -130,7 +130,23 @@ class NII:
         self.data = self.data * 0
 
     def save(self, filename: str) -> None:
-        formats.write_nifti(filename, self.data.astype(np.float32))
+        """Write as NIfTI, preserving the source geometry (pixdim/affine)
+        when the volume was loaded from disk (`utils/NII.py:28`)."""
+        formats.write_nifti(
+            filename, self.data.astype(np.float32),
+            pixdim=tuple(self.meta.get("pixdim", (1.0, 1.0, 1.0))),
+            affine=self.meta.get("affine"))
+
+    def geometry(self) -> Dict:
+        """Source geometry for residual re-export (`Evaluation.py:323-334`):
+        original array shape, the index of each named axis, and the
+        voxel->world metadata available from the header."""
+        return {
+            "shape": tuple(self.data.shape),
+            "view_mapping": dict(self.view_mapping),
+            "pixdim": tuple(self.meta.get("pixdim", (1.0, 1.0, 1.0))),
+            "affine": self.meta.get("affine"),
+        }
 
 
 class MINC(NII):

@@ -142,6 +142,31 @@ def overlay_prediction_groundtruth(x: np.ndarray, pred: np.ndarray,
     return img.astype(np.uint8)
 
 
+def squash_intensities(img: np.ndarray) -> np.ndarray:
+    """Logistic squash of residual intensities for heatmaps
+    (`utils/Evaluation.py:68-74`): maps [0, ~0.2] -> [0, 1)."""
+    k, offset = 100.0, 0.5
+    return 2.0 * ((1.0 / (1.0 + np.exp(-k * np.asarray(img, np.float32))))
+                  - offset)
+
+
+def add_colorbar(img: np.ndarray) -> np.ndarray:
+    """Paint a vertical intensity ramp into the last column
+    (`utils/Evaluation.py:77-79`) so the jet heatmap carries its scale."""
+    img = np.array(img, np.float32)
+    img[:, -1] = np.arange(img.shape[0], dtype=np.float32) / img.shape[0]
+    return img
+
+
+def residual_heatmap(diff: np.ndarray) -> np.ndarray:
+    """Reference heatmap recipe (`utils/Evaluation.py:318-321`): squash ->
+    colorbar -> jet, WITHOUT per-slice min-max renormalisation, so
+    intensities are comparable across slices and patients."""
+    squashed = add_colorbar(squash_intensities(np.squeeze(diff)))
+    heat = plt.cm.jet(np.clip(squashed, 0.0, 1.0))[..., :3]
+    return (heat * 255).astype(np.uint8)
+
+
 def export_slice_images(sample_dir: str, x: np.ndarray, recs: np.ndarray,
                         diffs: np.ndarray, labelmaps: np.ndarray,
                         thresholded: np.ndarray,
@@ -162,9 +187,8 @@ def export_slice_images(sample_dir: str, x: np.ndarray, recs: np.ndarray,
                         _norm_u8(labelmaps[i]))
         imageio.imwrite(os.path.join(sample_dir, f"{i}_diff.png"),
                         _norm_u8(diffs[i]))
-        heat = plt.cm.jet(_norm_u8(diffs[i]) / 255.0)[..., :3]
         imageio.imwrite(os.path.join(sample_dir, f"{i}_heatmap.png"),
-                        (heat * 255).astype(np.uint8))
+                        residual_heatmap(diffs[i]))
         imageio.imwrite(
             os.path.join(sample_dir, f"{i}_vis.png"),
             overlay_prediction_groundtruth(x[i], thresholded[i],

@@ -252,6 +252,54 @@ def _postprocess(x, rec, eroded, prior_q, options: Options):
         jnp.bool_(options.medianFiltering))
 
 
+def export_residual_volume(path: str, diff_sub: np.ndarray,
+                           geometry: Dict[str, Any],
+                           threshold: Optional[float] = None) -> np.ndarray:
+    """Write a residual subvolume back into its source scan's geometry.
+
+    Parity with `utils/Evaluation.py:323-334` + `utils/NII.py:107-109`:
+    the model-resolution residual stack (S, h, w) is de-zoomed to the
+    native slice resolution, placed into a zeroed full-extent volume at
+    ``geometry['slice_range']`` along the iteration axis, and written with
+    the source pixdim/affine so it overlays on the original scan.  When
+    ``threshold`` is given, the binary twin ``<path minus .nii.gz>
+    .binary.nii.gz`` is written too (thresholded at native resolution,
+    matching the reference's post-de-zoom threshold).  Returns the native
+    full-extent float volume.
+    """
+    shape = tuple(geometry["shape"])
+    axis = int(geometry["axis_index"])
+    s0, s1 = geometry["slice_range"]
+    # native shape seen axial-last (the eval frame): iteration axis moved
+    # to the end, matching data/base.py::load_volume_and_groundtruth
+    eval_shape = tuple(np.moveaxis(np.empty(shape, np.uint8), axis, 2).shape)
+    h, w = eval_shape[:2]
+    S, th, tw = diff_sub.shape
+    if (th, tw) != (h, w):
+        # reference de-zoom: scipy zoom by the reciprocal slice factors
+        # (`Evaluation.py:323-325`); factors chosen so the output is
+        # exactly the native slice shape
+        diff_sub = ndi.zoom(diff_sub, (1.0, h / th, w / tw))
+        assert diff_sub.shape == (S, h, w), diff_sub.shape
+    full = np.zeros(eval_shape, np.float32)
+    full[:, :, s0:s0 + S] = np.transpose(diff_sub, (1, 2, 0))
+    native = np.moveaxis(full, 2, axis)
+    from unsupervised_anomaly_detection_brain_mri_tpu.data.formats import (
+        write_nifti,
+    )
+
+    write_nifti(path, native, pixdim=tuple(geometry.get(
+        "pixdim", (1.0, 1.0, 1.0))), affine=geometry.get("affine"))
+    if threshold is not None:
+        base = path[:-7] if path.endswith(".nii.gz") else os.path.splitext(
+            path)[0]
+        write_nifti(base + ".binary.nii.gz",
+                    (native > threshold).astype(np.float32),
+                    pixdim=tuple(geometry.get("pixdim", (1.0, 1.0, 1.0))),
+                    affine=geometry.get("affine"))
+    return native
+
+
 def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
               config: Config, split: str = "TEST") -> Tuple[Dict, List]:
     """Per-patient reconstruction + residual post-processing (:183-365)."""
@@ -259,7 +307,7 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
     patients = dataset.patients_of(split)
     print(f"Testing {len(patients)} patients...")
 
-    xs, recs, diffs, labelmaps = [], [], [], []
+    xs, recs, diffs, labelmaps, geoms = [], [], [], [], []
     l1s, l2s, times, epistemics, combineds = [], [], [], [], []
     target = (config.outputHeight, config.outputWidth)
     rng = jax.random.key(config.seed + 7)
@@ -311,6 +359,13 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
         recs.append(np.asarray(rec))
         diffs.append(diff)
         labelmaps.append(seg)
+        # native geometry for residual re-export; datasets without file
+        # provenance (e.g. synthetic) fall back to the axial-last frame
+        geo = dict(getattr(dataset, "last_geometry", None)
+                   or {"shape": vol.shape, "axis_index": 2,
+                       "pixdim": (1.0, 1.0, 1.0), "affine": None})
+        geo["slice_range"] = (s0, s1)
+        geoms.append(geo)
         l1s.append(res["l1"])
         l2s.append(res["l2"])
         if res["epistemic"] is not None:
@@ -327,6 +382,7 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
         "diffs": jnp.concatenate(diffs) if diffs else None,
         "labelmaps": np.concatenate(labelmaps) if labelmaps else None,
         "slices_per_patient": [len(x) for x in xs],
+        "geometries": geoms,
         "l1reconstructionErrors": l1_np.tolist(),
         "l2reconstructionErrors": l2_np.tolist(),
         "l1reconstructionErrorMean": float(l1_np.mean()) if l1s else 0.0,
@@ -525,28 +581,23 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
                                   eval_pc.get("epistemic_variance")))
 
     if options.exportVolumes:
-        # residual-volume NIfTI export (+ binary at the operating point),
-        # parity with `Evaluation.py:323-334`
-        from unsupervised_anomaly_detection_brain_mri_tpu.data.formats import (
-            write_nifti,
-        )
-
+        # residual-volume NIfTI export (+ binary at the operating point)
+        # in the SOURCE scan's geometry, parity with `Evaluation.py:323-334`
         start = 0
-        for n_slices, patient in zip(eval_pc["slices_per_patient"],
-                                     patients):
-            sub = np.transpose(diffs_np[start:start + n_slices],
-                               (1, 2, 0))  # (H, W, S)
+        for n_slices, patient, geo in zip(eval_pc["slices_per_patient"],
+                                          patients,
+                                          eval_pc["geometries"]):
             name = patient.get("name", f"patient{start}")
-            write_nifti(os.path.join(sample_dir, f"{name}.nii.gz"), sub)
-            write_nifti(
-                os.path.join(sample_dir, f"{name}.binary.nii.gz"),
-                (sub > threshold).astype(np.float32))
+            export_residual_volume(
+                os.path.join(sample_dir, f"{name}.nii.gz"),
+                diffs_np[start:start + n_slices], geo,
+                threshold=float(threshold))
             start += n_slices
 
     # evalPC export (:519-526)
     export = {k: v for k, v in eval_pc.items()
               if k not in ("x", "diffs", "labelmaps", "reconstructions",
-                           "l1reconstructionErrors",
+                           "geometries", "l1reconstructionErrors",
                            "l2reconstructionErrors", "epistemic_variance",
                            "combined_variance")}
     np.save(os.path.join(eval_dir, "evalPC.npy"), export)  # type: ignore

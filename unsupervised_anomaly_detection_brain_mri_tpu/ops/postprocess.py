@@ -289,12 +289,6 @@ def compute_detection_rate(pred_volume: Array, gt_volume: Array,
 # misc eval ops
 
 
-def squash_intensities(img: Array) -> Array:
-    """Logistic squash for heatmaps (`Evaluation.py:70-74`)."""
-    k, offset = 100.0, 0.5
-    return 2.0 * ((1.0 / (1.0 + jnp.exp(-k * img))) - offset)
-
-
 def positive_residual(x: Array, x_rec: Array,
                       keep_only_positive: bool = True) -> Array:
     """max(x - x_rec, 0) or |x - x_rec| (`Evaluation.py:283-287`)."""
