@@ -62,3 +62,37 @@ def test_detect_applies_eval_pipeline_erosion(synth_dataset,
     assert np.all(amap[:, :3, :] == 0) and np.all(amap[:, -3:, :] == 0)
     assert np.all(amap[:, :, :3] == 0) and np.all(amap[:, :, -3:] == 0)
     assert np.any(amap != 0)  # interior survives
+
+
+def test_calibration_roundtrip(synth_dataset, synth_lesion_dataset):
+    """save_calibration -> from_workdir auto-loads threshold AND the eval
+    options the threshold was fitted under."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval.inference import (
+        load_calibration,
+        save_calibration,
+    )
+
+    wd = tempfile.mkdtemp()
+    cfg = Config(trainer="AE", model="autoencoder", batchsize=8,
+                 outputWidth=32, outputHeight=32, zDim=16, numEpochs=1,
+                 compute_dtype="float32")
+    tr = get_trainer("AE")(cfg, workdir=wd)
+    tr.fit(synth_dataset)
+    opts = Options(erosionIterations=2, minLesionSize=3,
+                   applyHyperIntensityPrior=False)
+    save_calibration(wd, 0.42, 0.5, opts, dataset="SYNTH", epoch=1)
+    assert load_calibration(wd)["threshold"] == 0.42
+
+    det = AnomalyDetector.from_workdir(wd)  # NO manual threshold/options
+    assert det.threshold == 0.42
+    assert det.options.erosionIterations == 2
+    assert det.options.minLesionSize == 3
+    patient = synth_lesion_dataset.patients_of("TEST")[0]
+    vol, _, _, _ = synth_lesion_dataset.load_volume_and_groundtruth(patient)
+    res = det.detect(vol)
+    assert "mask" in res  # detects at the calibrated operating point
+    # explicit args still win over the stored calibration
+    det2 = AnomalyDetector.from_workdir(
+        wd, threshold=0.9, options=Options(erosionIterations=5))
+    assert det2.threshold == 0.9
+    assert det2.options.erosionIterations == 5

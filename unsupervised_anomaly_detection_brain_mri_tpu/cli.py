@@ -297,11 +297,22 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     # threshold transfer from the first eval cohort's VAL split
     val_ds = eval_ds(eval_kinds[0])
+    transfer_options = options.replace(applyHyperIntensityPrior=False,
+                                       threshold=None)
     best_dice, thresh = determine_threshold_on_labeled_patients(
-        [val_ds], trainer, state,
-        options.replace(applyHyperIntensityPrior=False), config)
+        [val_ds], trainer, state, transfer_options, config)
     print(f"Optimal threshold on MS Lesion Validation Set without optimal "
           f"postprocessing: {thresh} (Dice-Score {best_dice})")
+    # persist the calibrated operating point so serving can auto-load it
+    # (AnomalyDetector.from_workdir) — the reference printed and dropped it
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval.inference import (
+        save_calibration,
+    )
+
+    calib_path = save_calibration(
+        workdir, thresh, best_dice, transfer_options,
+        dataset=eval_kinds[0].value, epoch=config.numEpochs)
+    print(f"Calibration written to {calib_path}")
     for kind in eval_kinds:
         evaluate(eval_ds(kind), trainer, state,
                  options.replace(threshold=thresh,

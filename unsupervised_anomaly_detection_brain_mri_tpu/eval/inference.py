@@ -33,6 +33,50 @@ from unsupervised_anomaly_detection_brain_mri_tpu.ops import postprocess as P
 from unsupervised_anomaly_detection_brain_mri_tpu.train import get_trainer
 
 
+CALIBRATION_FILE = "calibration.json"
+
+# eval knobs that define the calibrated operating point — the threshold is
+# only meaningful under the same post-processing it was fitted with
+_CALIB_OPTION_KEYS = (
+    "applyHyperIntensityPrior", "medianFiltering", "erodeBrainmask",
+    "erosionIterations", "minLesionSize", "keepOnlyPositiveResiduals",
+    "numMonteCarloSamples", "normalizationMethod", "upperpercentile",
+)
+
+
+def save_calibration(workdir: str, threshold: float, best_dice: float,
+                     options: Options, dataset: str,
+                     epoch: Any = None) -> str:
+    """Persist the calibrated operating point of a threshold-transfer run.
+
+    The reference's transfer protocol (`run.py:85-100`) fits the threshold
+    on a labeled VAL split and then uses it immediately — the fitted value
+    dies with the process.  Here it is written to
+    ``<workdir>/calibration.json`` together with the eval options it was
+    fitted under, so `AnomalyDetector.from_workdir` can serve at the
+    calibrated operating point with no manual re-entry.
+    """
+    payload = {
+        "threshold": float(threshold),
+        "bestDiceVAL": float(best_dice),
+        "dataset": str(dataset),
+        "epoch": epoch if isinstance(epoch, (int, str)) else str(epoch),
+        "options": {k: getattr(options, k) for k in _CALIB_OPTION_KEYS},
+    }
+    path = os.path.join(workdir, CALIBRATION_FILE)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2)
+    return path
+
+
+def load_calibration(workdir: str) -> Optional[Dict[str, Any]]:
+    path = os.path.join(workdir, CALIBRATION_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 class AnomalyDetector:
     """A trained model + threshold, packaged for inference."""
 
@@ -44,13 +88,28 @@ class AnomalyDetector:
         self.config = config
         self.options = options or Options()
         self.threshold = threshold
+        self.calibration: Optional[Dict[str, Any]] = None
 
     @classmethod
     def from_workdir(cls, workdir: str, threshold: Optional[float] = None,
                      options: Optional[Options] = None) -> "AnomalyDetector":
-        """Restore from a training workdir (config.json + orbax ckpt/)."""
+        """Restore from a training workdir (config.json + orbax ckpt/).
+
+        If the workdir holds a ``calibration.json`` (written by the CLI's
+        threshold-transfer workflow), the fitted threshold and the eval
+        options it was calibrated under are applied automatically;
+        explicitly passed ``threshold``/``options`` still win.
+        """
         with open(os.path.join(workdir, "config.json")) as f:
             config = Config.from_json(f.read())
+        calibration = load_calibration(workdir)
+        if calibration is not None:
+            if threshold is None:
+                threshold = float(calibration["threshold"])
+            if options is None:
+                options = Options().replace(**{
+                    k: v for k, v in calibration.get("options", {}).items()
+                    if k in _CALIB_OPTION_KEYS})
         trainer = get_trainer(config.trainer)(
             config, options, workdir=workdir)
         template = trainer.init_state()
@@ -58,7 +117,9 @@ class AnomalyDetector:
         if restored is None:
             raise FileNotFoundError(f"no checkpoint under {workdir}")
         state, _ = restored
-        return cls(trainer, state, config, options, threshold)
+        det = cls(trainer, state, config, options, threshold)
+        det.calibration = calibration
+        return det
 
     def detect(self, volume: np.ndarray,
                brainmask: Optional[np.ndarray] = None,
