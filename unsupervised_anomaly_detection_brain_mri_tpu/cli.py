@@ -175,7 +175,63 @@ def make_parser() -> argparse.ArgumentParser:
     return p
 
 
+def validate_data_main(argv: Optional[List[str]] = None) -> int:
+    """``validate-data`` subcommand: dry-run patient discovery with
+    actionable errors (no cache build, no training)."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.data.validate import (
+        format_report,
+        validate_dataset_dir,
+    )
+
+    p = argparse.ArgumentParser(
+        prog="validate-data",
+        description="Check dataset directory layouts before a real run")
+    p.add_argument("-c", "--config", default=None, type=str,
+                   help="config-path (JSON path roots); validates every "
+                        "dataset root it names")
+    p.add_argument("-d", "--ds", default=None, type=str,
+                   help="dataset to validate (BRAINWEB, MSLUB, "
+                        "MSISBI2015, MSSEG2008)")
+    p.add_argument("--dir", default=None, type=str,
+                   help="dataset directory (overrides the config root)")
+    p.add_argument("--protocol", action="append", default=None,
+                   help="protocol filter (repeatable), e.g. FLAIR")
+    p.add_argument("--format", default="raw", choices=("raw", "aligned"))
+    p.add_argument("--deep", action="store_true",
+                   help="additionally load the first patient's volumes")
+    args = p.parse_args(argv)
+
+    paths = (PathConfig.from_json(args.config) if args.config
+             else PathConfig())
+    roots = {
+        "BRAINWEB": paths.brainweb_dir,
+        "MSLUB": paths.mslub_dir,
+        "MSISBI2015": paths.msisbi2015_dir,
+        "MSSEG2008": paths.msseg2008_dir,
+    }
+    if args.ds:
+        targets = {args.ds.upper(): args.dir or roots.get(args.ds.upper())}
+    elif args.dir:
+        p.error("--dir requires --ds to name the dataset")
+        return 2
+    else:
+        targets = roots
+    rc = 0
+    for kind, directory in targets.items():
+        report = validate_dataset_dir(
+            kind, str(directory), protocols=args.protocol, fmt=args.format,
+            deep=args.deep)
+        print(format_report(report))
+        if not report["ok"]:
+            rc = 1
+    return rc
+
+
 def main(argv: Optional[List[str]] = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "validate-data":
+        return validate_data_main(argv[1:])
     from unsupervised_anomaly_detection_brain_mri_tpu.config import (
         MeshConfig,
         preset,
