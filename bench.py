@@ -331,6 +331,105 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         detail["restoration_bench_error"] = str(e)[:120]
 
+    # ---- fAnoGAN two-phase training (the most schedule-complex trainer:
+    # phase 1 WGAN-GP with 5 critic iters/batch incl. grad-of-grad GP,
+    # phase 2 izif encoder; `trainers/fAnoGAN.py:87-210`) and AnoVAEGAN
+    # (VAE + image WGAN-GP critic; `trainers/AnoVAEGAN.py:95-160`).
+    # Parity batch size 8 (mains presets); smaller pool bounds runtime.
+    try:
+        from unsupervised_anomaly_detection_brain_mri_tpu.config import preset
+
+        n_gan = 256
+        gan_pool = {"x": jnp.asarray(pool_np[:n_gan])}
+
+        def gan_epoch_runner(trainer, state_holder, **static):
+            def run(n_epochs: int):
+                state = state_holder[0]
+                for _ in range(n_epochs):
+                    idxs = jnp.asarray(epoch_indices(
+                        host_rng, n_gan, trainer.config.batchsize))
+                    state, m = trainer._train_compiler(
+                        state, gan_pool, idxs, **static)
+                _ = float(jax.tree_util.tree_leaves(m)[0])
+                state_holder[0] = state
+            return run
+
+        fcfg = preset("fAnoGAN", numEpochs=1)
+        ftr = get_trainer("fAnoGAN")(fcfg)
+        fholder = [ftr.init_state()]
+        frun1 = gan_epoch_runner(ftr, fholder, phase2=False)
+        frun1(1)
+        detail["fanogan_wgan_slices_per_sec"] = round(
+            _best_throughput(frun1, n_gan, 1), 1)
+        frun2 = gan_epoch_runner(ftr, fholder, phase2=True)
+        frun2(1)
+        detail["fanogan_encoder_slices_per_sec"] = round(
+            _best_throughput(frun2, n_gan, 1), 1)
+
+        acfg = preset("AnoVAEGAN", numEpochs=1)
+        atr = get_trainer("AnoVAEGAN")(acfg)
+        aholder = [atr.init_state()]
+        arun = gan_epoch_runner(atr, aholder)
+        arun(1)
+        detail["anovaegan_slices_per_sec"] = round(
+            _best_throughput(arun, n_gan, 1), 1)
+    except Exception as e:  # pragma: no cover
+        detail["fanogan_bench_error"] = str(e)[:120]
+
+    # ---- GMVAE_spatial 150-step restoration eval (the reference's other
+    # restoration hot loop, `trainers/GMVAE.py:166-197`; preset restore
+    # steps 150 for the spatial variant)
+    try:
+        gmcfg = preset("GMVAE_spatial", numEpochs=1)
+        gmtr = get_trainer("GMVAE_spatial")(gmcfg)
+        gmstate = gmtr.init_state()
+        gvol = jnp.asarray(host_rng.uniform(
+            0, 1, (112, H, H, 1)).astype(np.float32))
+        rr = gmtr.reconstruct(gmstate, gvol)  # compile
+        _ = float(np.asarray(rr["reconstruction"]).sum())
+
+        def run_gm(n: int):
+            for _ in range(n):
+                rr = gmtr.reconstruct(gmstate, gvol)
+            _ = float(np.asarray(rr["reconstruction"]).sum())
+
+        detail["gmvae_restoration_volumes_per_sec"] = round(
+            _best_throughput(run_gm, 1, 2), 3)
+    except Exception as e:  # pragma: no cover
+        detail["gmvae_bench_error"] = str(e)[:120]
+
+    # ---- fused postprocess at a REALISTIC cohort (MSLUB TEST scale:
+    # 25 patients x 155 slices) — the 112-slice row above measures one
+    # volume; this decides whether the fusion pays where it matters
+    try:
+        S_big = 25 * 155
+        xb = jnp.asarray(host_rng.uniform(
+            0, 1, (S_big, H, H)).astype(np.float32))
+        rb = xb * 0.9
+        mb = jnp.asarray(np.pad(
+            np.ones((S_big, H - 24, H - 24), np.float32),
+            ((0, 0), (12, 12), (12, 12))))
+        qb = jnp.float32(0.5)
+        a = fused(xb, rb, mb, qb)
+        b = unfused(xb, rb, mb, qb)
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-5
+
+        def run_big(f):
+            def run(n: int):
+                for _ in range(n):
+                    r = f(xb, rb, mb, qb)
+                _ = float(jnp.sum(r))
+            return run
+
+        cps_fused = _best_throughput(run_big(fused), 1, 2)
+        cps_unfused = _best_throughput(run_big(unfused), 1, 2)
+        detail["fused_postprocess_cohort25x155_per_sec"] = round(
+            cps_fused, 3)
+        detail["fused_vs_unfused_cohort_speedup"] = round(
+            cps_fused / cps_unfused, 3)
+    except Exception as e:  # pragma: no cover
+        detail["fused_cohort_bench_error"] = str(e)[:120]
+
     signal.alarm(0)
     print(json.dumps({
         "metric": "brainweb_ae_train_throughput",

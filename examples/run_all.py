@@ -31,12 +31,56 @@ from unsupervised_anomaly_detection_brain_mri_tpu.config import (
 )
 
 
+METRIC_KEYS = ("AUROC", "AUPRC", "bestDice", "finalTrainLoss")
+
+
+def compare_scoreboard(scoreboard: dict, expected: dict) -> list:
+    """Compare a scoreboard run against the committed expected table.
+
+    Returns a list of human-readable regression strings (empty == pass).
+    A preset regresses when any metric leaves
+    ``expected value ± tolerance`` (absolute for the curve metrics, which
+    live in [0, 1]; relative for the loss) — so a trainer/model change
+    that silently degrades quality turns the sweep red even though every
+    preset still 'completes'.
+    """
+    tol = expected.get("tolerances", {})
+    problems = []
+    for name, exp_row in expected.get("presets", {}).items():
+        rows = scoreboard.get(name)
+        if not rows:
+            problems.append(f"{name}: no scoreboard rows (preset failed?)")
+            continue
+        got = rows[0]
+        for key in METRIC_KEYS:
+            e, g = exp_row.get(key), got.get(key)
+            if e is None:
+                continue
+            if g is None or not (g == g):  # missing or NaN
+                problems.append(f"{name}: {key} missing/NaN (expected {e})")
+                continue
+            if key == "finalTrainLoss":
+                bound = abs(e) * float(tol.get(key, 0.5))
+            else:
+                bound = float(tol.get(key, 0.1))
+            if abs(g - e) > bound:
+                problems.append(
+                    f"{name}: {key} = {g:.4f}, expected {e:.4f} "
+                    f"(±{bound:.4f})")
+    return problems
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--download", action="store_true",
                     help="download BrainWeb first")
     ap.add_argument("--presets", default=None,
                     help="comma-separated subset (default: all)")
+    ap.add_argument("--scoreboard", default=None,
+                    help="write per-preset quality metrics (JSON) here")
+    ap.add_argument("--check", default=None,
+                    help="expected-scoreboard JSON; exit 1 when any "
+                         "preset's metrics regress beyond tolerance")
     args, passthrough = ap.parse_known_args()
 
     if args.download:
@@ -57,16 +101,52 @@ def main() -> int:
 
     presets = (args.presets.split(",") if args.presets
                else list(EXPERIMENT_PRESETS))
+    collect = bool(args.scoreboard or args.check)
+    scoreboard: dict = {}
     failed = []
     for name in presets:
         print(f"\n===== {name} =====")
+        extra = []
+        metrics_path = None
+        if collect:
+            import tempfile
+
+            metrics_path = os.path.join(
+                tempfile.mkdtemp(prefix="uad_scoreboard_"),
+                f"{name}.jsonl")
+            extra = ["--metrics-out", metrics_path]
         try:
-            rc = cli_main(["--preset", name] + passthrough)
+            rc = cli_main(["--preset", name] + passthrough + extra)
             if rc != 0:
                 failed.append(name)
         except Exception:
             traceback.print_exc()
             failed.append(name)
+        if metrics_path and os.path.exists(metrics_path):
+            import json
+
+            with open(metrics_path) as f:
+                scoreboard[name] = [json.loads(line) for line in f
+                                    if line.strip()]
+    if args.scoreboard:
+        import json
+
+        with open(args.scoreboard, "w") as f:
+            json.dump(scoreboard, f, indent=2)
+        print(f"\nScoreboard written to {args.scoreboard}")
+    if args.check:
+        import json
+
+        with open(args.check) as f:
+            expected = json.load(f)
+        problems = compare_scoreboard(scoreboard, expected)
+        if problems:
+            print("\nQUALITY REGRESSIONS:")
+            for p in problems:
+                print(f"  {p}")
+            return 1
+        print(f"\nQuality check passed for "
+              f"{len(expected.get('presets', {}))} presets.")
     if failed:
         print(f"\nFAILED presets: {failed}")
         return 1

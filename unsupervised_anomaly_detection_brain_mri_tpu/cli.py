@@ -172,6 +172,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--preset", default=None, type=str,
                    help="experiment preset name (mains/ parity)")
     p.add_argument("--workdir", default=None, type=str)
+    p.add_argument("--metrics-out", default=None, type=str,
+                   help="write one JSON row per evaluation (AUROC/AUPRC/"
+                        "bestDice/threshold + final train loss) — feeds "
+                        "the run_all quality scoreboard")
     return p
 
 
@@ -324,6 +328,35 @@ def main(argv: Optional[List[str]] = None) -> int:
     def eval_ds(kind: Dataset):
         return build_dataset(options, config, kind, "pathological")
 
+    metric_rows: List[dict] = []
+
+    def record_metrics(res: dict, kind: Dataset, description: str) -> None:
+        if not args.metrics_out:
+            return
+        final_train_loss = None
+        train_rows = [h for h in getattr(trainer, "history", [])
+                      if "train" in str(h.get("phase", "")).lower()]
+        if train_rows:
+            final_train_loss = float(train_rows[-1].get("loss", float("nan")))
+        metric_rows.append({
+            "preset": args.preset, "trainer": config.trainer,
+            "model": config.model, "dataset": kind.value,
+            "description": description,
+            "AUROC": res.get("diff_AUC"), "AUPRC": res.get("diff_AUPRC"),
+            "bestDice": res.get("bestDiceScore"),
+            "bestThreshold": res.get("bestThreshold"),
+            "DiceScore": res.get("DiceScore"),
+            "finalTrainLoss": final_train_loss,
+        })
+
+    def flush_metrics() -> None:
+        if args.metrics_out and metric_rows:
+            import json as _json
+
+            with open(args.metrics_out, "w") as f:
+                for row in metric_rows:
+                    f.write(_json.dumps(row) + "\n")
+
     eval_kinds: List[Dataset]
     if args.synthetic:
         eval_kinds = [Dataset.SYNTH]
@@ -334,22 +367,25 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.threshold is not None:
         for kind in eval_kinds:
-            evaluate(eval_ds(kind), trainer, state,
-                     options.replace(threshold=args.threshold,
-                                     applyHyperIntensityPrior=False),
-                     config, epoch=config.numEpochs,
-                     description=f"{kind.value}-thresh_{args.threshold}")
+            desc = f"{kind.value}-thresh_{args.threshold}"
+            res = evaluate(eval_ds(kind), trainer, state,
+                           options.replace(threshold=args.threshold,
+                                           applyHyperIntensityPrior=False),
+                           config, epoch=config.numEpochs, description=desc)
+            record_metrics(res, kind, desc)
+        flush_metrics()
         return 0
 
     # best-dice upper bound, with and without the hyperintensity prior
     for prior in (False, True):
         for kind in eval_kinds:
-            evaluate(eval_ds(kind), trainer, state,
-                     options.replace(threshold=None,
-                                     applyHyperIntensityPrior=prior),
-                     config, epoch=config.numEpochs,
-                     description=f"{kind.value}_upperbound"
-                                 + ("_wPrior" if prior else ""))
+            desc = (f"{kind.value}_upperbound"
+                    + ("_wPrior" if prior else ""))
+            res = evaluate(eval_ds(kind), trainer, state,
+                           options.replace(threshold=None,
+                                           applyHyperIntensityPrior=prior),
+                           config, epoch=config.numEpochs, description=desc)
+            record_metrics(res, kind, desc)
 
     # threshold transfer from the first eval cohort's VAL split
     val_ds = eval_ds(eval_kinds[0])
@@ -370,11 +406,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         dataset=eval_kinds[0].value, epoch=config.numEpochs)
     print(f"Calibration written to {calib_path}")
     for kind in eval_kinds:
-        evaluate(eval_ds(kind), trainer, state,
-                 options.replace(threshold=thresh,
-                                 applyHyperIntensityPrior=False),
-                 config, epoch=config.numEpochs,
-                 description=f"{kind.value}-VALthresh_{thresh:.5f}")
+        desc = f"{kind.value}-VALthresh_{thresh:.5f}"
+        res = evaluate(eval_ds(kind), trainer, state,
+                       options.replace(threshold=thresh,
+                                       applyHyperIntensityPrior=False),
+                       config, epoch=config.numEpochs, description=desc)
+        record_metrics(res, kind, desc)
+    flush_metrics()
     return 0
 
 

@@ -137,7 +137,8 @@ def _min_pool_3x3x3(labels: Array) -> Array:
 
 
 def connected_components_3d(mask: Array, max_iters: int = 1024,
-                            sweeps_per_check: int = 4) -> Array:
+                            sweeps_per_check: int = 4,
+                            return_converged: bool = False):
     """26-connected labeling via iterative min-label propagation.
 
     Each while-loop round runs ``sweeps_per_check`` 3^3 min-pool sweeps
@@ -146,8 +147,19 @@ def connected_components_3d(mask: Array, max_iters: int = 1024,
     1-element gathers it needs serialize on TPU (15x slower than plain
     propagation at lesion-scale volumes).
 
+    Worst-case bound (honest failure mode): a component whose minimal
+    voxel is at graph distance D from its farthest voxel needs
+    ``ceil(D / sweeps_per_check)`` rounds; if that exceeds ``max_iters``
+    the loop stops and the component is returned PARTIALLY MERGED
+    (split into >1 labels) with no error.  The default cap covers paths
+    up to 4096 voxels — far beyond lesion scale, but reachable by a
+    pathological space-filling snake.  Pass ``return_converged=True`` to
+    additionally get a scalar bool that is False exactly when the cap
+    was hit before the fixpoint.
+
     Returns int32 labels: 0 = background, else 1 + flat index of the
-    component's minimal voxel (a stable, order-independent component id).
+    component's minimal voxel (a stable, order-independent component id);
+    with ``return_converged=True``, returns ``(labels, converged)``.
     """
     mask = mask.astype(bool)
     n = mask.size
@@ -166,9 +178,14 @@ def connected_components_3d(mask: Array, max_iters: int = 1024,
                             jnp.minimum(new, _min_pool_3x3x3(new)), _INF)
         return new, jnp.any(new != labels), it + 1
 
-    labels, _, _ = jax.lax.while_loop(
+    labels, changed, _ = jax.lax.while_loop(
         cond, body, (labels, jnp.bool_(True), jnp.int32(0)))
-    return jnp.where(mask, labels, 0).astype(jnp.int32)
+    out = jnp.where(mask, labels, 0).astype(jnp.int32)
+    if return_converged:
+        # the loop exits either at the fixpoint (changed == False) or at
+        # the iteration cap with merging still in progress
+        return out, jnp.logical_not(changed)
+    return out
 
 
 def component_sizes(labels: Array) -> Array:
