@@ -155,6 +155,21 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         detail["s2d_bench_error"] = str(e)[:120]
 
+    # ---- PARITY-PRESERVING fused decoder stage (ops/pallas_decoder.py):
+    # same math/params as the parity path, Pallas kernels cross the big
+    # feature map 2+2x instead of XLA's ~3+5x
+    try:
+        fhcfg = cfg.replace(fusedDecoderHead=True)
+        fh_tr = get_trainer("AE")(fhcfg)
+        fh_holder = [fh_tr.init_state()]
+        fh_run = epoch_runner(fh_tr, fh_holder)
+        fh_run(1)
+        fh_sps = _best_throughput(fh_run, n_slices, 4)
+        detail["fusedhead_ae_slices_per_sec"] = round(fh_sps, 1)
+        detail["fusedhead_speedup"] = round(fh_sps / native_sps, 3)
+    except Exception as e:  # pragma: no cover
+        detail["fusedhead_bench_error"] = str(e)[:200]
+
     # ---- MFU of the AE train step (FLOP count from XLA cost analysis)
     try:
         idxs0 = jnp.asarray(epoch_indices(host_rng, n_slices, B))

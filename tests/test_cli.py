@@ -40,6 +40,7 @@ def test_preset_flag(tmp_path):
     assert rc == 0
 
 
+@pytest.mark.slow
 def test_cli_threshold_transfer_writes_calibration(tmp_path):
     """The transfer workflow (no --threshold) must persist the calibrated
     operating point; serving auto-loads it (VERDICT r2 item 6)."""

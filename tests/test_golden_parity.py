@@ -409,7 +409,11 @@ def _run_both(case_opts, mc=0, truncate_last=False, seed=0):
     return dev, host
 
 
-@pytest.mark.parametrize("case", sorted(CASES))
+@pytest.mark.parametrize("case", [
+    "bestdice_prior_median",  # full recipe: prior + median + 12-iter
+    pytest.param("fixed_threshold", marks=pytest.mark.slow),
+    pytest.param("abs_residual_nomedian", marks=pytest.mark.slow),
+])
 def test_golden_parity(case):
     dev, host = _run_both(CASES[case])
 
@@ -457,6 +461,7 @@ def test_golden_parity(case):
         assert dev[k] == host[k], (k, dev[k], host[k])
 
 
+@pytest.mark.slow
 def test_golden_parity_mc_dropout():
     """MC path: masked samples, mean reconstruction, epistemic variance."""
     dev, host = _run_both(CASES["bestdice_prior_median"], mc=3)

@@ -100,6 +100,7 @@ def test_collective_helpers(ctx8):
         np.arange(8.0))), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_step(ctx8):
     """dp=4 x tp=2: params sharded over 'model', one step runs finite."""
     from unsupervised_anomaly_detection_brain_mri_tpu.train import get_trainer
@@ -145,6 +146,7 @@ def test_mesh_reconstruct_shards_and_unpads(ctx8):
     assert np.isfinite(res["l1err"])
 
 
+@pytest.mark.slow
 def test_data_parallel_gan_step(ctx8):
     """One AAE adversarial step (critic + gen + AE updates) on the 8-device
     mesh matches the single-device step — the GAN family's multi-chip path."""
@@ -175,6 +177,7 @@ def test_data_parallel_gan_step(ctx8):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_data_parallel_gmvae_step(ctx8):
     """One GMVAE step (4-term mixture loss) on the 8-device mesh."""
     from unsupervised_anomaly_detection_brain_mri_tpu.train import get_trainer
@@ -199,6 +202,7 @@ def test_data_parallel_gmvae_step(ctx8):
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_mesh_evaluation_matches_single_device(ctx8, synth_dataset,
                                                synth_lesion_dataset,
                                                tmp_path):

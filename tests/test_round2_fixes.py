@@ -172,6 +172,7 @@ def test_resume_is_bitwise_deterministic(synth_dataset):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_resume_replays_early_stopping_history(synth_dataset):
     wd = tempfile.mkdtemp()
     cfg = _cfg("AE", "autoencoder", numEpochs=2)
@@ -189,6 +190,7 @@ def test_resume_replays_early_stopping_history(synth_dataset):
 # `trainers/fAnoGAN.py:87-210` two-phase schedule)
 
 
+@pytest.mark.slow
 def test_fanogan_two_phase_history_and_resume(synth_dataset):
     wd = tempfile.mkdtemp()
     cfg = _cfg("fAnoGAN", "fanogan", numEpochs=1, batchsize=8,
@@ -211,6 +213,7 @@ def test_fanogan_two_phase_history_and_resume(synth_dataset):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_fanogan_resumes_mid_phase(synth_dataset):
     # train only phase 1 (interrupt by monkey-limiting num_epochs), then
     # resume with the full schedule: the restored run must enter phase 2
@@ -362,6 +365,7 @@ def test_cache_key_includes_crop_options():
     assert len(keys) == 4
 
 
+@pytest.mark.slow
 def test_log_var_feeds_combined_variance(tiny_trained_ae, lesion_ds):
     """Aleatoric plumbing (`Evaluation.py:246-272`): a model emitting
     ``log_var`` must contribute mean(sigmas) to the COMBINED predictive

@@ -87,6 +87,7 @@ def test_cevae_restoration_honors_dropout():
     assert np.abs(on - on_b).max() > 0
 
 
+@pytest.mark.slow
 def test_mc_eval_nonzero_epistemic_variance_restoration(
         synth_lesion_dataset, tmp_path):
     """End-to-end: numMonteCarloSamples=3 with a restoration trainer must

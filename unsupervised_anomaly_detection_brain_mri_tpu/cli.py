@@ -169,6 +169,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--d2s-head", action="store_true",
                    help="opt-in NON-PARITY depth-to-space decoder head "
                         "(Config.depthToSpaceHead)")
+    p.add_argument("--fused-head", action="store_true",
+                   help="opt-in PARITY-PRESERVING fused decoder last "
+                        "stage via Pallas (Config.fusedDecoderHead; same "
+                        "math and checkpoints as the standard path)")
     p.add_argument("--preset", default=None, type=str,
                    help="experiment preset name (mains/ parity)")
     p.add_argument("--workdir", default=None, type=str)
@@ -281,6 +285,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         use_gradient_based_restoration=args.use_gradient_based_restoration,
         spaceToDepthStem=args.s2d_stem,
         depthToSpaceHead=args.d2s_head,
+        fusedDecoderHead=args.fused_head,
         mesh=MeshConfig(data=args.mesh_data),
     )
     if args.preset:
@@ -300,6 +305,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         config = config.replace(compute_dtype=args.precision,
                                 spaceToDepthStem=args.s2d_stem,
                                 depthToSpaceHead=args.d2s_head,
+                                fusedDecoderHead=args.fused_head,
                                 mesh=MeshConfig(data=args.mesh_data))
     else:
         config = Config().replace(**overrides)

@@ -31,6 +31,7 @@ class Autoencoder(nn.Module):
     dropout_rate: float = 0.2
     space_to_depth_stem: bool = False
     depth_to_space_head: bool = False
+    fused_decoder_head: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -46,6 +47,7 @@ class Autoencoder(nn.Module):
             self.channels,
             self.intermediate_resolution,
             depth_to_space_head=self.depth_to_space_head,
+            fused_decoder_head=self.fused_decoder_head,
             dtype=self.dtype,
         )
 
@@ -69,6 +71,7 @@ class AutoencoderSpatial(nn.Module):
     dropout_rate: float = 0.2
     space_to_depth_stem: bool = False
     depth_to_space_head: bool = False
+    fused_decoder_head: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -81,6 +84,7 @@ class AutoencoderSpatial(nn.Module):
             self.channels,
             self.intermediate_resolution,
             depth_to_space_head=self.depth_to_space_head,
+            fused_decoder_head=self.fused_decoder_head,
             dtype=self.dtype,
         )
         self.drop = nn.Dropout(self.dropout_rate)
