@@ -22,6 +22,7 @@ def test_parser_reference_flags():
     assert args.threshold == 0.3 and args.ds == "MSISBI2015"
 
 
+@pytest.mark.slow
 def test_cli_synthetic_fixed_threshold(tmp_path):
     """Full train->eval flow at a fixed threshold (fast path)."""
     rc = main(["--synthetic", "-t", "AE", "-m", "autoencoder", "-b", "8",
@@ -32,6 +33,7 @@ def test_cli_synthetic_fixed_threshold(tmp_path):
     assert os.path.isdir(tmp_path / "work" / "ckpt")
 
 
+@pytest.mark.slow
 def test_preset_flag(tmp_path):
     rc = main(["--synthetic", "--preset", "AE_spatial", "-b", "8",
                "-E", "1", "-z", "16", "-w", "32", "-g", "32", "-s", "0",

@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 
 def test_entry_forward():
@@ -13,6 +14,7 @@ def test_entry_forward():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_small():
     import __graft_entry__ as g
 

@@ -3,6 +3,7 @@
 import tempfile
 
 import numpy as np
+import pytest
 
 from unsupervised_anomaly_detection_brain_mri_tpu.config import Config, Options
 from unsupervised_anomaly_detection_brain_mri_tpu.eval.inference import (
@@ -11,6 +12,7 @@ from unsupervised_anomaly_detection_brain_mri_tpu.eval.inference import (
 from unsupervised_anomaly_detection_brain_mri_tpu.train import get_trainer
 
 
+@pytest.mark.slow
 def test_detector_from_workdir(synth_dataset, synth_lesion_dataset):
     wd = tempfile.mkdtemp()
     cfg = Config(trainer="AE", model="autoencoder", batchsize=8,

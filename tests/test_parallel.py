@@ -64,6 +64,7 @@ def test_data_parallel_training_step_matches_single_device(ctx8):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_median_filter_matches_single_device(ctx8, rng):
     from unsupervised_anomaly_detection_brain_mri_tpu.ops.postprocess import (
         median_filter_3d,

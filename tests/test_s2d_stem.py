@@ -54,6 +54,7 @@ def test_stem_off_by_default_keeps_parity_arch():
     assert not any("s2d" in k for k in flat)
 
 
+@pytest.mark.slow
 def test_stem_trains(synth_dataset):
     cfg = Config(trainer="AE", model="autoencoder", batchsize=8,
                  outputWidth=32, outputHeight=32, zDim=16, numEpochs=3,

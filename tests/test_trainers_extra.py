@@ -16,6 +16,7 @@ def _cfg(trainer, model, **kw):
     return Config(**base)
 
 
+@pytest.mark.slow
 def test_aae_gan_schedule_trains(synth_dataset):
     """AAE: AE/critic/generator sub-updates in one jitted step, finite."""
     tr = get_trainer("AAE")(_cfg("AAE", "adversarial_autoencoder",
