@@ -159,7 +159,9 @@ def _bwd1_kernel(y_ref, g_ref, mv_ref, par_ref, out_ref, acc):
     act = jnp.where(pre >= 0, pre, LEAKY_SLOPE * pre)
     # head out channel = 1: dact[., packed c] = g[., phase(c)] * wh[c]
     Cout = C4 // 4
-    g_b = jnp.repeat(g, Cout, axis=1)         # (HW, C4) phase-major packing
+    g_b = jnp.concatenate(                    # (HW, C4) phase-major packing
+        [g[:, ph:ph + 1] * jnp.ones((1, Cout), jnp.float32)
+         for ph in range(4)], axis=1)
     dact = g_b * wh
     dpre = jnp.where(pre >= 0, dact, LEAKY_SLOPE * dact)
 
@@ -228,7 +230,11 @@ def _bwd2_kernel(y_ref, g_ref, xp_ref, mv_ref, par_ref, red_ref,
 
     xhat = (yf - mean) * inv
     pre = xhat * gamma + beta
-    g_b = jnp.repeat(g, Cout, axis=1)
+    # broadcast g over the Cout lanes of each phase block (Mosaic-safe
+    # alternative to jnp.repeat along lanes)
+    g_b = jnp.concatenate(
+        [g[:, ph:ph + 1] * jnp.ones((1, Cout), jnp.float32)
+         for ph in range(4)], axis=1)
     dact = g_b * wh
     dpre = jnp.where(pre >= 0, dact, LEAKY_SLOPE * dact)
     dxhat = dpre * gamma
@@ -236,32 +242,39 @@ def _bwd2_kernel(y_ref, g_ref, xp_ref, mv_ref, par_ref, red_ref,
 
     accb[0] = accb[0] + jnp.sum(dy, axis=0)  # dbt (packed; fold outside)
 
-    dyp = dy.reshape(H, W, 4, Cout)
     xp = xp_ref[0].astype(jnp.float32)  # (H+2, W+2, Cin)
-    # zero-pad dy phases by 1 in phase-row/col space for the dx stencil
-    dyp_pad = jnp.pad(dyp, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    zrow = jnp.zeros((1, W, Cout), jnp.float32)
+    zcol = jnp.zeros((H + 2, 1, Cout), jnp.float32)
 
     dx = jnp.zeros((H * W, Cin), jnp.float32)
     tap_idx = 0
-    for pi, (p, taps_h) in enumerate(PHASE_TAPS.items()):
-        for qi, (q, taps_w) in enumerate(PHASE_TAPS.items()):
+    for p, taps_h in PHASE_TAPS.items():
+        for q, taps_w in PHASE_TAPS.items():
             ph = 2 * p + q
+            # lane-range slice of the phase block, then split sublanes
+            dy_ph = dy[:, ph * Cout:(ph + 1) * Cout]
+            dy_ph_img = dy_ph.reshape(H, W, Cout)
+            # zero-border via concat (Mosaic-safe alternative to jnp.pad)
+            dy_pad = jnp.concatenate([zrow, dy_ph_img, zrow], axis=0)
+            dy_pad = jnp.concatenate([zcol, dy_pad, zcol], axis=1)
             for kh, oh in taps_h:
                 for kw, ow in taps_w:
-                    # dWf[kh,kw] += x_win^T @ dy_phase
+                    # dWf[kh,kw] += x_win^T @ dy_phase — contract over the
+                    # pixel axis with dot_general (no explicit transpose)
                     win = xp[1 + oh:1 + oh + H, 1 + ow:1 + ow + W, :]
-                    dy_ph = dyp[:, :, ph, :].reshape(H * W, Cout)
-                    accw[tap_idx] = accw[tap_idx] + jnp.dot(
-                        win.reshape(H * W, Cin).T, dy_ph,
+                    accw[tap_idx] = accw[tap_idx] + jax.lax.dot_general(
+                        win.reshape(H * W, Cin), dy_ph,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32).reshape(
                             Cin * Cout)
                     # dx[i,j] += dy[phase ph at row i - oh] @ Wf[kh,kw]^T
-                    shifted = dyp_pad[1 - oh:1 - oh + H,
-                                      1 - ow:1 - ow + W, ph, :]
+                    shifted = dy_pad[1 - oh:1 - oh + H,
+                                     1 - ow:1 - ow + W, :]
                     wf_tap = par_ref[3 + tap_idx, :Cin * Cout].reshape(
                         Cin, Cout)
-                    dx = dx + jnp.dot(
-                        shifted.reshape(H * W, Cout), wf_tap.T,
+                    dx = dx + jax.lax.dot_general(
+                        shifted.reshape(H * W, Cout), wf_tap,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     tap_idx += 1
     dx_ref[0] = dx.reshape(H, W, Cin).astype(dx_ref.dtype)
