@@ -74,6 +74,13 @@ class BaseTrainer:
         mesh: Optional[MeshContext] = None,
         workdir: Optional[str] = None,
     ) -> None:
+        if mesh is not None and getattr(config, "fusedDecoderHead", False):
+            # Mosaic kernels are not auto-partitionable by XLA SPMD; the
+            # fused stage would see a sharded operand under the mesh.
+            # Fall back to the (numerically identical) standard path.
+            print("fusedDecoderHead is single-device only; disabling it "
+                  "under the device mesh (same math either way)")
+            config = config.replace(fusedDecoderHead=False)
         self.config = config
         self.options = options or Options()
         self.mesh = mesh
