@@ -155,21 +155,6 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         detail["s2d_bench_error"] = str(e)[:120]
 
-    # ---- PARITY-PRESERVING fused decoder stage (ops/pallas_decoder.py):
-    # same math/params as the parity path, Pallas kernels cross the big
-    # feature map 2+2x instead of XLA's ~3+5x
-    try:
-        fhcfg = cfg.replace(fusedDecoderHead=True)
-        fh_tr = get_trainer("AE")(fhcfg)
-        fh_holder = [fh_tr.init_state()]
-        fh_run = epoch_runner(fh_tr, fh_holder)
-        fh_run(1)
-        fh_sps = _best_throughput(fh_run, n_slices, 4)
-        detail["fusedhead_ae_slices_per_sec"] = round(fh_sps, 1)
-        detail["fusedhead_speedup"] = round(fh_sps / native_sps, 3)
-    except Exception as e:  # pragma: no cover
-        detail["fusedhead_bench_error"] = str(e)[:200]
-
     # ---- MFU of the AE train step (FLOP count from XLA cost analysis)
     try:
         idxs0 = jnp.asarray(epoch_indices(host_rng, n_slices, B))
@@ -345,6 +330,21 @@ def main() -> None:
             _best_throughput(run_restore, 1, 2), 3)
     except Exception as e:  # pragma: no cover
         detail["restoration_bench_error"] = str(e)[:120]
+
+    # ---- PARITY-PRESERVING fused decoder stage (ops/pallas_decoder.py):
+    # same math/params as the parity path, Pallas kernels cross the big
+    # feature map 2+2x instead of XLA's ~3+5x
+    try:
+        fhcfg = cfg.replace(fusedDecoderHead=True)
+        fh_tr = get_trainer("AE")(fhcfg)
+        fh_holder = [fh_tr.init_state()]
+        fh_run = epoch_runner(fh_tr, fh_holder)
+        fh_run(1)
+        fh_sps = _best_throughput(fh_run, n_slices, 4)
+        detail["fusedhead_ae_slices_per_sec"] = round(fh_sps, 1)
+        detail["fusedhead_speedup"] = round(fh_sps / native_sps, 3)
+    except Exception as e:  # pragma: no cover
+        detail["fusedhead_bench_error"] = str(e)[:200]
 
     # ---- fAnoGAN two-phase training (the most schedule-complex trainer:
     # phase 1 WGAN-GP with 5 critic iters/batch incl. grad-of-grad GP,

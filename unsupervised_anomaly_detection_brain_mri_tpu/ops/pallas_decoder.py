@@ -131,6 +131,8 @@ def _fwd_call(xp: Array, Wf: Array, bt: Array, out_dtype
             pltpu.VMEM((1, C4), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(xp, Wf, bt.reshape(1, -1))
     return y, s1, s2
 
@@ -141,35 +143,38 @@ def _fwd_call(xp: Array, Wf: Array, bt: Array, out_dtype
 
 def _bwd1_kernel(y_ref, g_ref, mv_ref, par_ref, out_ref, acc):
     """Accumulates, per PACKED channel: [dWh, dbeta, dgamma, s_dxhat,
-    s_dxhat_xhat] (5 rows) plus dbh in acc[5, 0]."""
+    s_dxhat_xhat] (5 rows) plus dbh in acc[5, 0].
+
+    Processes one phase block (Cout lanes) at a time so live f32
+    temporaries stay ~4x smaller than the packed map (VMEM headroom at
+    the parity shapes: (4096, 32) f32 per temporary, not (4096, 128))."""
     i = pl.program_id(0)
     H, W, C4 = y_ref.shape[1], y_ref.shape[2], y_ref.shape[3]
+    Cout = C4 // 4
 
     @pl.when(i == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    yf = y_ref[0].reshape(H * W, C4).astype(jnp.float32)
     g = g_ref[0].reshape(H * W, 4).astype(jnp.float32)  # phase-packed head
-    mean, inv = mv_ref[0], mv_ref[1]          # (C4,) broadcast per phase
-    gamma, beta, wh = par_ref[0], par_ref[1], par_ref[2]
+    for ph in range(4):
+        sl = slice(ph * Cout, (ph + 1) * Cout)
+        yf = y_ref[0, :, :, sl].reshape(H * W, Cout).astype(jnp.float32)
+        mean, inv = mv_ref[0, sl], mv_ref[1, sl]
+        gamma, beta, wh = par_ref[0, sl], par_ref[1, sl], par_ref[2, sl]
+        g_ph = g[:, ph:ph + 1]
+        xhat = (yf - mean) * inv
+        pre = xhat * gamma + beta
+        act = jnp.where(pre >= 0, pre, LEAKY_SLOPE * pre)
+        # head out channel = 1: dact[., c] = g[., phase] * wh[c]
+        dact = g_ph * wh
+        dpre = jnp.where(pre >= 0, dact, LEAKY_SLOPE * dact)
 
-    xhat = (yf - mean) * inv
-    pre = xhat * gamma + beta
-    act = jnp.where(pre >= 0, pre, LEAKY_SLOPE * pre)
-    # head out channel = 1: dact[., packed c] = g[., phase(c)] * wh[c]
-    Cout = C4 // 4
-    g_b = jnp.concatenate(                    # (HW, C4) phase-major packing
-        [g[:, ph:ph + 1] * jnp.ones((1, Cout), jnp.float32)
-         for ph in range(4)], axis=1)
-    dact = g_b * wh
-    dpre = jnp.where(pre >= 0, dact, LEAKY_SLOPE * dact)
-
-    acc[0] = acc[0] + jnp.sum(act * g_b, axis=0)      # dWh (packed)
-    acc[1] = acc[1] + jnp.sum(dpre, axis=0)           # dbeta (packed)
-    acc[2] = acc[2] + jnp.sum(dpre * xhat, axis=0)    # dgamma (packed)
-    acc[3] = acc[3] + jnp.sum(dpre * gamma, axis=0)   # sum dxhat
-    acc[4] = acc[4] + jnp.sum(dpre * gamma * xhat, axis=0)
+        acc[0, sl] = acc[0, sl] + jnp.sum(act * g_ph, axis=0)   # dWh
+        acc[1, sl] = acc[1, sl] + jnp.sum(dpre, axis=0)         # dbeta
+        acc[2, sl] = acc[2, sl] + jnp.sum(dpre * xhat, axis=0)  # dgamma
+        acc[3, sl] = acc[3, sl] + jnp.sum(dpre * gamma, axis=0)
+        acc[4, sl] = acc[4, sl] + jnp.sum(dpre * gamma * xhat, axis=0)
     acc[5] = acc[5] + jnp.full((acc.shape[1],), jnp.sum(g) / acc.shape[1])
 
     @pl.when(i == pl.num_programs(0) - 1)
@@ -200,6 +205,8 @@ def _bwd1_call(y: Array, g_ph: Array, mean_p: Array, inv_p: Array,
         out_shape=jax.ShapeDtypeStruct((6, C4), jnp.float32),
         scratch_shapes=[pltpu.VMEM((6, C4), jnp.float32)],
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(y, g_ph, mv, par)
 
 
@@ -207,7 +214,7 @@ def _bwd1_call(y: Array, g_ph: Array, mean_p: Array, inv_p: Array,
 # backward pass 2: dy in VMEM -> dx + dWt without materialising dy
 
 
-def _bwd2_kernel(y_ref, g_ref, xp_ref, mv_ref, par_ref, red_ref,
+def _bwd2_kernel(y_ref, g_ref, xp_ref, mv_ref, par_ref, wf_ref, red_ref,
                  dx_ref, dwf_ref, dbt_ref, accw, accb):
     i = pl.program_id(0)
     H, W, C4 = y_ref.shape[1], y_ref.shape[2], y_ref.shape[3]
@@ -219,29 +226,7 @@ def _bwd2_kernel(y_ref, g_ref, xp_ref, mv_ref, par_ref, red_ref,
         accw[:] = jnp.zeros_like(accw)
         accb[:] = jnp.zeros_like(accb)
 
-    yf = y_ref[0].reshape(H * W, C4).astype(jnp.float32)
     g = g_ref[0].reshape(H * W, 4).astype(jnp.float32)
-    mean, inv = mv_ref[0], mv_ref[1]
-    # parameter rows are padded to max(C4, Cin*Cout) width; slice to C4
-    gamma = par_ref[0, :C4]
-    beta = par_ref[1, :C4]
-    wh = par_ref[2, :C4]
-    m_dxhat, m_dxhat_xhat = red_ref[0], red_ref[1]  # means over N, packed
-
-    xhat = (yf - mean) * inv
-    pre = xhat * gamma + beta
-    # broadcast g over the Cout lanes of each phase block (Mosaic-safe
-    # alternative to jnp.repeat along lanes)
-    g_b = jnp.concatenate(
-        [g[:, ph:ph + 1] * jnp.ones((1, Cout), jnp.float32)
-         for ph in range(4)], axis=1)
-    dact = g_b * wh
-    dpre = jnp.where(pre >= 0, dact, LEAKY_SLOPE * dact)
-    dxhat = dpre * gamma
-    dy = inv * (dxhat - m_dxhat - xhat * m_dxhat_xhat)  # (HW, C4) f32
-
-    accb[0] = accb[0] + jnp.sum(dy, axis=0)  # dbt (packed; fold outside)
-
     xp = xp_ref[0].astype(jnp.float32)  # (H+2, W+2, Cin)
     zrow = jnp.zeros((1, W, Cout), jnp.float32)
     zcol = jnp.zeros((H + 2, 1, Cout), jnp.float32)
@@ -251,8 +236,24 @@ def _bwd2_kernel(y_ref, g_ref, xp_ref, mv_ref, par_ref, red_ref,
     for p, taps_h in PHASE_TAPS.items():
         for q, taps_w in PHASE_TAPS.items():
             ph = 2 * p + q
-            # lane-range slice of the phase block, then split sublanes
-            dy_ph = dy[:, ph * Cout:(ph + 1) * Cout]
+            sl = slice(ph * Cout, (ph + 1) * Cout)
+            # recompute dy for THIS phase block only — live temporaries
+            # stay (HW, Cout), not (HW, 4*Cout)
+            yf = y_ref[0, :, :, sl].reshape(H * W, Cout).astype(
+                jnp.float32)
+            mean, inv = mv_ref[0, sl], mv_ref[1, sl]
+            gamma, beta, wh = (par_ref[0, sl], par_ref[1, sl],
+                               par_ref[2, sl])
+            m_dxhat = red_ref[0, sl]
+            m_dxhat_xhat = red_ref[1, sl]
+            xhat = (yf - mean) * inv
+            pre = xhat * gamma + beta
+            dact = g[:, ph:ph + 1] * wh
+            dpre = jnp.where(pre >= 0, dact, LEAKY_SLOPE * dact)
+            dy_ph = inv * (dpre * gamma - m_dxhat - xhat * m_dxhat_xhat)
+
+            accb[0, sl] = accb[0, sl] + jnp.sum(dy_ph, axis=0)  # dbt
+
             dy_ph_img = dy_ph.reshape(H, W, Cout)
             # zero-border via concat (Mosaic-safe alternative to jnp.pad)
             dy_pad = jnp.concatenate([zrow, dy_ph_img, zrow], axis=0)
@@ -265,15 +266,12 @@ def _bwd2_kernel(y_ref, g_ref, xp_ref, mv_ref, par_ref, red_ref,
                     accw[tap_idx] = accw[tap_idx] + jax.lax.dot_general(
                         win.reshape(H * W, Cin), dy_ph,
                         dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32).reshape(
-                            Cin * Cout)
+                        preferred_element_type=jnp.float32)
                     # dx[i,j] += dy[phase ph at row i - oh] @ Wf[kh,kw]^T
                     shifted = dy_pad[1 - oh:1 - oh + H,
                                      1 - ow:1 - ow + W, :]
-                    wf_tap = par_ref[3 + tap_idx, :Cin * Cout].reshape(
-                        Cin, Cout)
                     dx = dx + jax.lax.dot_general(
-                        shifted.reshape(H * W, Cout), wf_tap,
+                        shifted.reshape(H * W, Cout), wf_ref[tap_idx],
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     tap_idx += 1
@@ -306,15 +304,10 @@ def _bwd2_call(y: Array, g_ph: Array, xp: Array, mean_p, inv_p, gamma_p,
     n_taps = len(_ordered_taps())
     mv = jnp.stack([mean_p, inv_p])
     red = jnp.stack([m_dxhat, m_dxhat_xhat])
-    # parameter block: rows 0..2 packed gamma/beta/wh; rows 3.. flat taps
-    width = max(C4, Cin * Cout)
-    par = jnp.zeros((3 + n_taps, width), jnp.float32)
-    par = par.at[0, :C4].set(gamma_p)
-    par = par.at[1, :C4].set(beta_p)
-    par = par.at[2, :C4].set(wh_p)
-    for t, (kh, kw, _, _, _) in enumerate(_ordered_taps()):
-        par = par.at[3 + t, :Cin * Cout].set(
-            Wf[kh, kw].astype(jnp.float32).reshape(-1))
+    par = jnp.stack([gamma_p, beta_p, wh_p])
+    # Wf taps as a 3-D tensor in kernel visit order (no in-kernel reshapes)
+    wf_taps = jnp.stack([Wf[kh, kw].astype(jnp.float32)
+                         for (kh, kw, _, _, _) in _ordered_taps()])
     dx, dwf, dbt = pl.pallas_call(
         _bwd2_kernel,
         grid=(B,),
@@ -327,7 +320,9 @@ def _bwd2_call(y: Array, g_ph: Array, xp: Array, mean_p, inv_p, gamma_p,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, C4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 + n_taps, width), lambda i: (0, 0),
+            pl.BlockSpec((3, C4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_taps, Cin, Cout), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, C4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -335,22 +330,24 @@ def _bwd2_call(y: Array, g_ph: Array, xp: Array, mean_p, inv_p, gamma_p,
         out_specs=[
             pl.BlockSpec((1, H, W, Cin), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_taps, Cin * Cout), lambda i: (0, 0),
+            pl.BlockSpec((n_taps, Cin, Cout), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, W, Cin), x_dtype),
-            jax.ShapeDtypeStruct((n_taps, Cin * Cout), jnp.float32),
+            jax.ShapeDtypeStruct((n_taps, Cin, Cout), jnp.float32),
             jax.ShapeDtypeStruct((1, C4), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_taps, Cin * Cout), jnp.float32),
+            pltpu.VMEM((n_taps, Cin, Cout), jnp.float32),
             pltpu.VMEM((1, C4), jnp.float32),
         ],
         interpret=_interpret(),
-    )(y, g_ph, xp, mv, par, red)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(y, g_ph, xp, mv, par, wf_taps, red)
     return dx, dwf, dbt
 
 
@@ -440,14 +437,14 @@ def _stage_bwd(res, cts):
     s_dxhat = _unpack_sum(red[3], Cout) / N
     s_dxhat_xhat = _unpack_sum(red[4], Cout) / N
 
-    dx, dwf_flat, dbt_p = _bwd2_call(
+    dx, dwf_taps, dbt_p = _bwd2_call(
         y, g_ph, xp, mean_p, inv_p, gamma_p, beta_p, wh_p,
         _pack(s_dxhat), _pack(s_dxhat_xhat), Wf, x_dtype)
     dbt = _unpack_sum(dbt_p[0], Cout)
 
     dWf = jnp.zeros((5, 5, Cin, Cout), jnp.float32)
     for t, (kh, kw, _, _, _) in enumerate(_ordered_taps()):
-        dWf = dWf.at[kh, kw].add(dwf_flat[t].reshape(Cin, Cout))
+        dWf = dWf.at[kh, kw].add(dwf_taps[t])
     dWt = dWf[::-1, ::-1].astype(Wt.dtype)
 
     return (dx, dWt, dbt.astype(jnp.float32),
