@@ -52,6 +52,57 @@ Array = jnp.ndarray
 # flattened (p, q) phase order used for channel packing
 _PHASES = [(0, 0), (0, 1), (1, 0), (1, 1)]
 
+# the 9 input-window offsets the taps draw from (im2col-9 layout order)
+OFF9 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+        (1, -1), (1, 0), (1, 1)]
+
+
+def _idx9(oh: int, ow: int) -> int:
+    return OFF9.index((oh, ow))
+
+
+def _tap_map():
+    """Bijection (kh, kw) <-> (window index, packed phase): each kernel
+    tap contributes to exactly one output phase from exactly one shifted
+    input window."""
+    out = []
+    for p, taps_h in PHASE_TAPS.items():
+        for q, taps_w in PHASE_TAPS.items():
+            ph = 2 * p + q
+            for kh, oh in taps_h:
+                for kw, ow in taps_w:
+                    out.append((kh, kw, oh, ow, ph))
+    return out
+
+
+def _w_all(Wf: Array, dtype) -> Array:
+    """(9*Cin, 4*Cout) combined forward weight: y_packed = X9 @ W_all.
+
+    X9 is the im2col-9 of the padded input (9 shifted windows along
+    lanes); unused (window, phase) blocks are zero.  One well-shaped MXU
+    matmul replaces the 25 tiny per-tap matmuls."""
+    Cin, Cout = Wf.shape[2], Wf.shape[3]
+    W = jnp.zeros((9 * Cin, 4 * Cout), jnp.float32)
+    for kh, kw, oh, ow, ph in _tap_map():
+        r = _idx9(oh, ow) * Cin
+        c = ph * Cout
+        W = W.at[r:r + Cin, c:c + Cout].add(Wf[kh, kw].astype(jnp.float32))
+    return W.astype(dtype)
+
+
+def _w_dx(Wf: Array, dtype) -> Array:
+    """(9*4*Cout, Cin) combined input-gradient weight: dx = DY9 @ W_dx,
+    where DY9 is the im2col-9 of the zero-padded packed dy (window offset
+    (-oh, -ow) for tap offset (oh, ow))."""
+    Cin, Cout = Wf.shape[2], Wf.shape[3]
+    C4 = 4 * Cout
+    W = jnp.zeros((9 * C4, Cin), jnp.float32)
+    for kh, kw, oh, ow, ph in _tap_map():
+        r = _idx9(-oh, -ow) * C4 + ph * Cout
+        W = W.at[r:r + Cout, :].add(
+            Wf[kh, kw].astype(jnp.float32).T)
+    return W.astype(dtype)
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -75,17 +126,12 @@ def _fwd_kernel(xp_ref, wf_ref, bt_ref, y_ref, s1_ref, s2_ref, acc1, acc2):
         acc2[:] = jnp.zeros_like(acc2)
 
     xp = xp_ref[0]  # (H+2, W+2, Cin)
-    packed = []
-    for p, q in _PHASES:
-        acc = jnp.zeros((H * W, Cout), jnp.float32)
-        for kh, oh in PHASE_TAPS[p]:
-            for kw, ow in PHASE_TAPS[q]:
-                win = xp[1 + oh:1 + oh + H, 1 + ow:1 + ow + W, :]
-                acc = acc + jnp.dot(
-                    win.reshape(H * W, Cin), wf_ref[kh, kw],
-                    preferred_element_type=jnp.float32)
-        packed.append(acc + bt_ref[0].astype(jnp.float32))
-    yf = jnp.concatenate(packed, axis=-1)  # (H*W, 4*Cout) f32
+    # im2col-9: the 9 shifted windows along lanes -> ONE MXU matmul
+    x9 = jnp.concatenate(
+        [xp[1 + oh:1 + oh + H, 1 + ow:1 + ow + W, :].reshape(H * W, Cin)
+         for (oh, ow) in OFF9], axis=1)  # (HW, 9*Cin)
+    yf = jnp.dot(x9, wf_ref[:], preferred_element_type=jnp.float32)
+    yf = yf + bt_ref[0].astype(jnp.float32)  # bias pre-packed to (1, C4)
     y_ref[0] = yf.reshape(H, W, C4).astype(y_ref.dtype)
     acc1[:] = acc1[:] + jnp.sum(yf, axis=0, keepdims=True)
     acc2[:] = acc2[:] + jnp.sum(yf * yf, axis=0, keepdims=True)
@@ -102,15 +148,16 @@ def _fwd_call(xp: Array, Wf: Array, bt: Array, out_dtype
     H, W = Hp - 2, Wp - 2
     Cout = Wf.shape[-1]
     C4 = 4 * Cout
+    w_all = _w_all(Wf, xp.dtype)
     y, s1, s2 = pl.pallas_call(
         _fwd_kernel,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, Hp, Wp, Cin), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((5, 5, Cin, Cout), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((9 * Cin, C4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Cout), lambda i: (0, 0),
+            pl.BlockSpec((1, C4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -133,7 +180,7 @@ def _fwd_call(xp: Array, Wf: Array, bt: Array, out_dtype
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(xp, Wf, bt.reshape(1, -1))
+    )(xp, w_all, jnp.tile(bt, 4).reshape(1, -1))
     return y, s1, s2
 
 
@@ -214,8 +261,12 @@ def _bwd1_call(y: Array, g_ph: Array, mean_p: Array, inv_p: Array,
 # backward pass 2: dy in VMEM -> dx + dWt without materialising dy
 
 
-def _bwd2_kernel(y_ref, g_ref, xp_ref, mv_ref, par_ref, wf_ref, red_ref,
-                 dx_ref, dwf_ref, dbt_ref, accw, accb):
+def _bwd2_kernel(y_ref, g_ref, xp_ref, mv_ref, par_ref, wdx_ref, red_ref,
+                 dx_ref, dm_ref, dbt_ref, accm, accb, dyb):
+    """Pass 2: rebuild the packed dy in VMEM (never in HBM), then TWO
+    well-shaped MXU matmuls per image — X9^T @ dy for the combined ConvT
+    weight-gradient matrix, DY9 @ W_dx for the input gradient (im2col-9
+    on both sides, mirroring the forward's single-matmul formulation)."""
     i = pl.program_id(0)
     H, W, C4 = y_ref.shape[1], y_ref.shape[2], y_ref.shape[3]
     Cin = xp_ref.shape[3]
@@ -223,76 +274,53 @@ def _bwd2_kernel(y_ref, g_ref, xp_ref, mv_ref, par_ref, wf_ref, red_ref,
 
     @pl.when(i == 0)
     def _():
-        accw[:] = jnp.zeros_like(accw)
+        accm[:] = jnp.zeros_like(accm)
         accb[:] = jnp.zeros_like(accb)
 
     g = g_ref[0].reshape(H * W, 4).astype(jnp.float32)
-    xp = xp_ref[0].astype(jnp.float32)  # (H+2, W+2, Cin)
-    zrow = jnp.zeros((1, W, Cout), jnp.float32)
-    zcol = jnp.zeros((H + 2, 1, Cout), jnp.float32)
+    # per-phase dy into the VMEM scratch (bounded f32 temporaries)
+    for ph in range(4):
+        sl = slice(ph * Cout, (ph + 1) * Cout)
+        yf = y_ref[0, :, :, sl].reshape(H * W, Cout).astype(jnp.float32)
+        mean, inv = mv_ref[0, sl], mv_ref[1, sl]
+        gamma, beta, wh = (par_ref[0, sl], par_ref[1, sl],
+                           par_ref[2, sl])
+        xhat = (yf - mean) * inv
+        pre = xhat * gamma + beta
+        dact = g[:, ph:ph + 1] * wh
+        dpre = jnp.where(pre >= 0, dact, LEAKY_SLOPE * dact)
+        dy_ph = inv * (dpre * gamma - red_ref[0, sl]
+                       - xhat * red_ref[1, sl])
+        accb[0, sl] = accb[0, sl] + jnp.sum(dy_ph, axis=0)  # dbt
+        dyb[:, sl] = dy_ph
 
-    dx = jnp.zeros((H * W, Cin), jnp.float32)
-    tap_idx = 0
-    for p, taps_h in PHASE_TAPS.items():
-        for q, taps_w in PHASE_TAPS.items():
-            ph = 2 * p + q
-            sl = slice(ph * Cout, (ph + 1) * Cout)
-            # recompute dy for THIS phase block only — live temporaries
-            # stay (HW, Cout), not (HW, 4*Cout)
-            yf = y_ref[0, :, :, sl].reshape(H * W, Cout).astype(
-                jnp.float32)
-            mean, inv = mv_ref[0, sl], mv_ref[1, sl]
-            gamma, beta, wh = (par_ref[0, sl], par_ref[1, sl],
-                               par_ref[2, sl])
-            m_dxhat = red_ref[0, sl]
-            m_dxhat_xhat = red_ref[1, sl]
-            xhat = (yf - mean) * inv
-            pre = xhat * gamma + beta
-            dact = g[:, ph:ph + 1] * wh
-            dpre = jnp.where(pre >= 0, dact, LEAKY_SLOPE * dact)
-            dy_ph = inv * (dpre * gamma - m_dxhat - xhat * m_dxhat_xhat)
+    dt = xp_ref.dtype
+    dy16 = dyb[:].astype(dt)  # matmul operands in the model dtype
+    # combined weight-gradient matrix: X9^T @ dy  (9*Cin, C4)
+    xp = xp_ref[0]
+    x9 = jnp.concatenate(
+        [xp[1 + oh:1 + oh + H, 1 + ow:1 + ow + W, :].reshape(H * W, Cin)
+         for (oh, ow) in OFF9], axis=1)  # (HW, 9*Cin)
+    accm[:] = accm[:] + jax.lax.dot_general(
+        x9, dy16, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
-            accb[0, sl] = accb[0, sl] + jnp.sum(dy_ph, axis=0)  # dbt
-
-            dy_ph_img = dy_ph.reshape(H, W, Cout)
-            # zero-border via concat (Mosaic-safe alternative to jnp.pad)
-            dy_pad = jnp.concatenate([zrow, dy_ph_img, zrow], axis=0)
-            dy_pad = jnp.concatenate([zcol, dy_pad, zcol], axis=1)
-            for kh, oh in taps_h:
-                for kw, ow in taps_w:
-                    # dWf[kh,kw] += x_win^T @ dy_phase — contract over the
-                    # pixel axis with dot_general (no explicit transpose)
-                    win = xp[1 + oh:1 + oh + H, 1 + ow:1 + ow + W, :]
-                    accw[tap_idx] = accw[tap_idx] + jax.lax.dot_general(
-                        win.reshape(H * W, Cin), dy_ph,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    # dx[i,j] += dy[phase ph at row i - oh] @ Wf[kh,kw]^T
-                    shifted = dy_pad[1 - oh:1 - oh + H,
-                                     1 - ow:1 - ow + W, :]
-                    dx = dx + jax.lax.dot_general(
-                        shifted.reshape(H * W, Cout), wf_ref[tap_idx],
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    tap_idx += 1
+    # input gradient: im2col-9 of the zero-padded packed dy
+    dy_img = dy16.reshape(H, W, C4)
+    zrow = jnp.zeros((1, W, C4), dt)
+    zcol = jnp.zeros((H + 2, 1, C4), dt)
+    dy_pad = jnp.concatenate([zrow, dy_img, zrow], axis=0)
+    dy_pad = jnp.concatenate([zcol, dy_pad, zcol], axis=1)
+    dy9 = jnp.concatenate(
+        [dy_pad[1 + oh:1 + oh + H, 1 + ow:1 + ow + W, :].reshape(
+            H * W, C4) for (oh, ow) in OFF9], axis=1)  # (HW, 9*C4)
+    dx = jnp.dot(dy9, wdx_ref[:], preferred_element_type=jnp.float32)
     dx_ref[0] = dx.reshape(H, W, Cin).astype(dx_ref.dtype)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
-        dwf_ref[:] = accw[:]
+        dm_ref[:] = accm[:]
         dbt_ref[:] = accb[:]
-
-
-def _ordered_taps():
-    """The (kh, kw, oh, ow, phase) visit order shared by fwd/bwd kernels."""
-    taps = []
-    for p, taps_h in PHASE_TAPS.items():
-        for q, taps_w in PHASE_TAPS.items():
-            ph = 2 * p + q
-            for kh, oh in taps_h:
-                for kw, ow in taps_w:
-                    taps.append((kh, kw, oh, ow, ph))
-    return taps
 
 
 def _bwd2_call(y: Array, g_ph: Array, xp: Array, mean_p, inv_p, gamma_p,
@@ -301,14 +329,11 @@ def _bwd2_call(y: Array, g_ph: Array, xp: Array, mean_p, inv_p, gamma_p,
     B, H, W, C4 = y.shape
     Cin = xp.shape[3]
     Cout = C4 // 4
-    n_taps = len(_ordered_taps())
     mv = jnp.stack([mean_p, inv_p])
     red = jnp.stack([m_dxhat, m_dxhat_xhat])
     par = jnp.stack([gamma_p, beta_p, wh_p])
-    # Wf taps as a 3-D tensor in kernel visit order (no in-kernel reshapes)
-    wf_taps = jnp.stack([Wf[kh, kw].astype(jnp.float32)
-                         for (kh, kw, _, _, _) in _ordered_taps()])
-    dx, dwf, dbt = pl.pallas_call(
+    w_dx = _w_dx(Wf, xp.dtype)
+    dx, dm, dbt = pl.pallas_call(
         _bwd2_kernel,
         grid=(B,),
         in_specs=[
@@ -322,7 +347,7 @@ def _bwd2_call(y: Array, g_ph: Array, xp: Array, mean_p, inv_p, gamma_p,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, C4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_taps, Cin, Cout), lambda i: (0, 0, 0),
+            pl.BlockSpec((9 * C4, Cin), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, C4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -330,25 +355,26 @@ def _bwd2_call(y: Array, g_ph: Array, xp: Array, mean_p, inv_p, gamma_p,
         out_specs=[
             pl.BlockSpec((1, H, W, Cin), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_taps, Cin, Cout), lambda i: (0, 0, 0),
+            pl.BlockSpec((9 * Cin, C4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, W, Cin), x_dtype),
-            jax.ShapeDtypeStruct((n_taps, Cin, Cout), jnp.float32),
+            jax.ShapeDtypeStruct((9 * Cin, C4), jnp.float32),
             jax.ShapeDtypeStruct((1, C4), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_taps, Cin, Cout), jnp.float32),
+            pltpu.VMEM((9 * Cin, C4), jnp.float32),
             pltpu.VMEM((1, C4), jnp.float32),
+            pltpu.VMEM((H * W, C4), jnp.float32),
         ],
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(y, g_ph, xp, mv, par, wf_taps, red)
-    return dx, dwf, dbt
+    )(y, g_ph, xp, mv, par, w_dx, red)
+    return dx, dm, dbt
 
 
 # ---------------------------------------------------------------------------
@@ -437,14 +463,19 @@ def _stage_bwd(res, cts):
     s_dxhat = _unpack_sum(red[3], Cout) / N
     s_dxhat_xhat = _unpack_sum(red[4], Cout) / N
 
-    dx, dwf_taps, dbt_p = _bwd2_call(
+    dx, dm, dbt_p = _bwd2_call(
         y, g_ph, xp, mean_p, inv_p, gamma_p, beta_p, wh_p,
         _pack(s_dxhat), _pack(s_dxhat_xhat), Wf, x_dtype)
     dbt = _unpack_sum(dbt_p[0], Cout)
 
+    # extract each tap's weight gradient from the combined (9*Cin, C4)
+    # matrix: (kh, kw) <-> one (window, phase) block (the _tap_map
+    # bijection)
     dWf = jnp.zeros((5, 5, Cin, Cout), jnp.float32)
-    for t, (kh, kw, _, _, _) in enumerate(_ordered_taps()):
-        dWf = dWf.at[kh, kw].add(dwf_taps[t])
+    for kh, kw, oh, ow, ph in _tap_map():
+        r = _idx9(oh, ow) * Cin
+        c = ph * Cout
+        dWf = dWf.at[kh, kw].add(dm[r:r + Cin, c:c + Cout])
     dWt = dWf[::-1, ::-1].astype(Wt.dtype)
 
     return (dx, dWt, dbt.astype(jnp.float32),
