@@ -418,12 +418,15 @@ def main() -> None:
     # volume; this decides whether the fusion pays where it matters
     try:
         S_big = 25 * 155
-        xb = jnp.asarray(host_rng.uniform(
-            0, 1, (S_big, H, H)).astype(np.float32))
+        # generate ON DEVICE: a (3875,128,128) f32 host->device transfer is
+        # ~254 MB — multi-MB tunnel copies run at a few MB/s or hang
+        xb = jax.jit(
+            lambda k: jax.random.uniform(k, (S_big, H, H), jnp.float32)
+        )(jax.random.PRNGKey(0))
         rb = xb * 0.9
-        mb = jnp.asarray(np.pad(
-            np.ones((S_big, H - 24, H - 24), np.float32),
-            ((0, 0), (12, 12), (12, 12))))
+        mb = jax.jit(lambda: jnp.pad(
+            jnp.ones((S_big, H - 24, H - 24), jnp.float32),
+            ((0, 0), (12, 12), (12, 12))))()
         qb = jnp.float32(0.5)
         a = fused(xb, rb, mb, qb)
         b = unfused(xb, rb, mb, qb)
