@@ -284,3 +284,41 @@ def test_nifti_roundtrip_through_native_cache(tmp_path, rng):
     imgs, labs, s = native.read_cache(cache)
     np.testing.assert_allclose(np.asarray(imgs), slices, rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(s), sets)
+
+
+def test_nifti_qform_only_affine(tmp_path):
+    """sform_code=0 + qform_code=1: the affine must come from the
+    quaternion (rotation+origin), not degrade to a diagonal pixdim matrix
+    (NIfTI-1 method 2; geometry-preserving export depends on this)."""
+    import struct
+
+    import numpy as np
+
+    from unsupervised_anomaly_detection_brain_mri_tpu.data.formats import (
+        read_nifti,
+        write_nifti,
+    )
+
+    path = str(tmp_path / "qform.nii")
+    data = np.random.default_rng(0).uniform(size=(5, 6, 7)).astype(
+        np.float32)
+    write_nifti(path, data)
+    raw = bytearray(open(path, "rb").read())
+    # strip the sform, set a quaternion qform: 90-degree rotation about z
+    # (b=c=0, d=sin(45deg)) with origin (-90, -126, -72) and pixdim 2,2,2
+    struct.pack_into("<h", raw, 254, 0)               # sform_code = 0
+    struct.pack_into("<h", raw, 252, 1)               # qform_code = 1
+    d = np.sin(np.pi / 4)
+    struct.pack_into("<3f", raw, 256, 0.0, 0.0, d)    # quatern_b,c,d
+    struct.pack_into("<3f", raw, 268, -90.0, -126.0, -72.0)  # offsets
+    struct.pack_into("<8f", raw, 76, 1.0, 2.0, 2.0, 2.0, 1.0, 1.0, 1.0,
+                     1.0)
+    open(path, "wb").write(bytes(raw))
+
+    _, meta = read_nifti(path)
+    aff = np.asarray(meta["affine"])
+    # origin preserved
+    assert np.allclose(aff[:, 3], [-90.0, -126.0, -72.0])
+    # rotation about z: x-axis maps to +y at scale 2
+    assert np.allclose(aff[:3, :3],
+                       [[0, -2, 0], [2, 0, 0], [0, 0, 2]], atol=1e-5)

@@ -98,3 +98,45 @@ def test_calibration_roundtrip(synth_dataset, synth_lesion_dataset):
         wd, threshold=0.9, options=Options(erosionIterations=5))
     assert det2.threshold == 0.9
     assert det2.options.erosionIterations == 5
+
+
+def test_detect_honors_calibrated_mc_sampling(synth_dataset,
+                                              synth_lesion_dataset):
+    """A threshold calibrated under numMonteCarloSamples > 1 must be served
+    under the SAME pipeline: detect() runs MC-dropout sampling, reports
+    epistemic variance, and differs from the deterministic residual map."""
+    import jax
+
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval.inference import (
+        save_calibration,
+    )
+
+    wd = tempfile.mkdtemp()
+    cfg = Config(trainer="AE", model="autoencoder", batchsize=8,
+                 outputWidth=32, outputHeight=32, zDim=16, numEpochs=1,
+                 compute_dtype="float32")
+    tr = get_trainer("AE")(cfg, workdir=wd)
+    tr.fit(synth_dataset)
+    opts = Options(erosionIterations=1, minLesionSize=2,
+                   numMonteCarloSamples=3)
+    save_calibration(wd, 0.3, 0.5, opts, dataset="SYNTH", epoch=1)
+
+    det = AnomalyDetector.from_workdir(wd)
+    assert det.options.numMonteCarloSamples == 3
+    patient = synth_lesion_dataset.patients_of("TEST")[0]
+    vol, _, brain, _ = synth_lesion_dataset.load_volume_and_groundtruth(
+        patient)
+    res = det.detect(vol, brainmask=brain)
+    # MC pipeline engaged: uncertainty maps exist and are non-degenerate
+    assert "epistemic_variance" in res and "combined_variance" in res
+    assert np.isfinite(res["epistemic_variance"]).all()
+    assert float(res["epistemic_variance"].max()) > 0.0
+    # different rng -> different MC mean reconstruction
+    res2 = det.detect(vol, brainmask=brain, rng=jax.random.PRNGKey(7))
+    assert not np.allclose(res["reconstruction"], res2["reconstruction"])
+
+    # deterministic serving (mc <= 1) reports no uncertainty maps
+    det_det = AnomalyDetector.from_workdir(
+        wd, options=Options(erosionIterations=1, minLesionSize=2))
+    res3 = det_det.detect(vol, brainmask=brain)
+    assert "epistemic_variance" not in res3

@@ -123,7 +123,7 @@ def test_detection_counts(rng):
     pred = np.zeros_like(gt)
     pred[2:5, 6:10, 6:10] = True   # overlaps A
     pred[1:3, 25:29, 2:6] = True   # false positive (>= 8 voxels)
-    tps, fps, fns = (int(v) for v in P.detection_counts_chunk(
+    tps, fps, fns, _ = (int(v) for v in P.detection_counts_chunk(
         jnp.asarray(pred), jnp.asarray(gt)))
     assert (tps, fps, fns) == (1, 1, 1)
 
@@ -132,7 +132,7 @@ def test_small_pred_component_ignored():
     gt = np.zeros((6, 16, 16), bool)
     pred = np.zeros_like(gt)
     pred[0, 0:2, 0:3] = True  # 6 voxels < 8 -> dropped, no FP
-    tps, fps, fns = (int(v) for v in P.detection_counts_chunk(
+    tps, fps, fns, _ = (int(v) for v in P.detection_counts_chunk(
         jnp.asarray(pred), jnp.asarray(gt)))
     assert (tps, fps, fns) == (0, 0, 0)
 

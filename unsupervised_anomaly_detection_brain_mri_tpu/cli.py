@@ -218,10 +218,13 @@ def validate_data_main(argv: Optional[List[str]] = None) -> int:
         "MSSEG2008": paths.msseg2008_dir,
     }
     if args.ds:
-        targets = {args.ds.upper(): args.dir or roots.get(args.ds.upper())}
+        name = args.ds.upper()
+        if name not in roots:
+            p.error(f"unknown dataset {args.ds!r} "
+                    f"(choose from {', '.join(sorted(roots))})")
+        targets = {name: args.dir or roots[name]}
     elif args.dir:
         p.error("--dir requires --ds to name the dataset")
-        return 2
     else:
         targets = roots
     rc = 0

@@ -82,11 +82,32 @@ def read_nifti(path: str) -> Tuple[np.ndarray, Dict[str, Any]]:
     # voxel->world geometry: sform rows when sform_code > 0, else a
     # diagonal affine from pixdim (the reference keeps SimpleITK's
     # origin/direction for residual re-export, `utils/NII.py:18-21`)
+    qform_code = struct.unpack_from(byte_order + "h", hdr, 252)[0]
     sform_code = struct.unpack_from(byte_order + "h", hdr, 254)[0]
     if sform_code > 0:
         srows = [struct.unpack_from(byte_order + "4f", hdr, off)
                  for off in (280, 296, 312)]
         meta["affine"] = [list(r) for r in srows]
+    elif qform_code > 0:
+        # qform-only headers (older converters/scanners): rebuild the
+        # rotation from the unit quaternion + qfac so exports still
+        # overlay on the source scan (NIfTI-1 standard method 2)
+        b, c, d = struct.unpack_from(byte_order + "3f", hdr, 256)
+        qx, qy, qz = struct.unpack_from(byte_order + "3f", hdr, 268)
+        a = float(np.sqrt(max(0.0, 1.0 - (b * b + c * c + d * d))))
+        R = np.array([
+            [a * a + b * b - c * c - d * d, 2 * (b * c - a * d),
+             2 * (b * d + a * c)],
+            [2 * (b * c + a * d), a * a + c * c - b * b - d * d,
+             2 * (c * d - a * b)],
+            [2 * (b * d - a * c), 2 * (c * d + a * b),
+             a * a + d * d - b * b - c * c],
+        ])
+        qfac = -1.0 if pixdim[0] == -1.0 else 1.0
+        scale = np.array([pixdim[1], pixdim[2], qfac * pixdim[3]])
+        aff = np.concatenate(
+            [R * scale[None, :], np.array([[qx], [qy], [qz]])], axis=1)
+        meta["affine"] = aff.tolist()
     else:
         meta["affine"] = [[pixdim[1], 0.0, 0.0, 0.0],
                           [0.0, pixdim[2], 0.0, 0.0],

@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import warnings
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -272,7 +273,9 @@ def export_residual_volume(path: str, diff_sub: np.ndarray,
     s0, s1 = geometry["slice_range"]
     # native shape seen axial-last (the eval frame): iteration axis moved
     # to the end, matching data/base.py::load_volume_and_groundtruth
-    eval_shape = tuple(np.moveaxis(np.empty(shape, np.uint8), axis, 2).shape)
+    dims = list(shape)
+    dims.append(dims.pop(axis))
+    eval_shape = tuple(dims)
     h, w = eval_shape[:2]
     S, th, tw = diff_sub.shape
     if (th, tw) != (h, w):
@@ -491,8 +494,8 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
                  else float(options.threshold))
     eval_pc["thresholdType"] = (
         "bestdice" if options.threshold is None else options.threshold)
-    thresholded = P.filter_small_components(
-        diffs > threshold, options.minLesionSize)
+    thresholded, cc_conv = P.filter_small_components(
+        diffs > threshold, options.minLesionSize, return_converged=True)
 
     # precision-70 operating point for detection counts (:425-440).
     # Reference quirk preserved (:459-461): with a NUMERIC threshold the
@@ -503,8 +506,9 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
     elif options.computePRC:
         t70 = float(summary["precision70_threshold"])
         eval_pc["precision70Threshold"] = t70
-        thresholded_p70 = P.filter_small_components(
-            diffs > t70, options.minLesionSize)
+        thresholded_p70, conv70 = P.filter_small_components(
+            diffs > t70, options.minLesionSize, return_converged=True)
+        cc_conv = cc_conv & conv70
     else:
         thresholded_p70 = thresholded
 
@@ -537,10 +541,21 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
         start += n_slices
     tpcc = fpcc = fncc = 0
     if pred_chunks:
-        t, f, n = P.detection_counts_batch(
+        t, f, n, conv_d = P.detection_counts_batch(
             jnp.concatenate(pred_chunks), jnp.concatenate(gt_chunks))
+        cc_conv = cc_conv & jnp.all(conv_d)
         tpcc, fpcc, fncc = (int(v) for v in np.asarray(
             jnp.stack([jnp.sum(t), jnp.sum(f), jnp.sum(n)])))
+    # ONE scalar fetch at a point that already syncs: surface the honest
+    # CC failure mode (iteration cap hit -> partially-merged labels could
+    # drop lesion fragments / inflate detection counts) instead of
+    # leaving it silent
+    eval_pc["ccConverged"] = bool(cc_conv)
+    if not eval_pc["ccConverged"]:
+        warnings.warn(
+            "connected-component labeling hit its iteration cap before "
+            "the fixpoint; CC-filtered masks and detection counts may "
+            "treat one snake-shaped component as several", RuntimeWarning)
     _finite_prec = [p for p in per_prec if np.isfinite(p)]
     eval_pc.update(
         DiceScorePerPatient=per_dice,

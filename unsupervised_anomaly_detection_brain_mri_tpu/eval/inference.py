@@ -27,6 +27,9 @@ from unsupervised_anomaly_detection_brain_mri_tpu.data.preprocess import (
 )
 from unsupervised_anomaly_detection_brain_mri_tpu.eval.evaluate import (
     _erode_and_postprocess,
+    _eroded_mask,
+    _postprocess,
+    _reconstruct_volume,
     _zoom_volume,
 )
 from unsupervised_anomaly_detection_brain_mri_tpu.ops import postprocess as P
@@ -123,12 +126,17 @@ class AnomalyDetector:
 
     def detect(self, volume: np.ndarray,
                brainmask: Optional[np.ndarray] = None,
-               threshold: Optional[float] = None) -> Dict[str, Any]:
+               threshold: Optional[float] = None,
+               rng: Optional[jax.Array] = None) -> Dict[str, Any]:
         """volume: (H, W, S) raw intensities, axial slices on the last axis.
 
         Returns per-slice anomaly scores plus the post-processed anomaly map
         and (if a threshold is configured) the CC-filtered binary mask, all
-        at the model resolution.
+        at the model resolution.  The calibrated eval options are honored
+        end-to-end: when ``numMonteCarloSamples > 1`` was part of the
+        operating point, detection runs the same MC-dropout sampling and
+        masked-mean residual pipeline the threshold was fitted under (and
+        reports ``epistemic_variance`` / ``combined_variance``).
         """
         c = self.config
         o = self.options
@@ -143,17 +151,19 @@ class AnomalyDetector:
             skm = (x > 0.05).astype(np.float32)
         prior_q = float(np.quantile(vol, 0.9))
 
-        rec_dev = getattr(self.trainer, "reconstruct_device", None)
-        if rec_dev is not None:
-            rec = rec_dev(
-                self.state, jnp.asarray(x[..., None]))["reconstruction"]
-        else:  # duck-typed trainer with only the numpy reconstruct contract
-            rec = jnp.asarray(self.trainer.reconstruct(
-                self.state, x[..., None])["reconstruction"])
-        rec = rec[..., 0]
-        # erosion + residual pipeline exactly like the evaluation pipeline,
-        # as ONE device dispatch
-        diff = _erode_and_postprocess(x, rec, skm, prior_q, o)
+        # same reconstruction + residual pipeline as the eval driver
+        # (_evaluate): MC sampling and the standalone eroded mask engage
+        # exactly when the calibrated options say so
+        mc = int(o.numMonteCarloSamples or 0)
+        eroded = _eroded_mask(skm, o) if mc > 1 else None
+        res = _reconstruct_volume(
+            self.trainer, self.state, x[..., None], o,
+            rng if rng is not None else jax.random.PRNGKey(0), eroded)
+        rec = res["reconstruction"][..., 0]
+        if mc > 1:
+            diff = _postprocess(x, rec, eroded, prior_q, o)
+        else:
+            diff = _erode_and_postprocess(x, rec, skm, prior_q, o)
 
         diff_np = np.asarray(diff)
         result: Dict[str, Any] = {
@@ -161,10 +171,16 @@ class AnomalyDetector:
             "reconstruction": np.asarray(rec),
             "scores": diff_np.reshape(diff_np.shape[0], -1).max(axis=1),
         }
+        if res["epistemic"] is not None:
+            result["epistemic_variance"] = np.asarray(
+                res["epistemic"][..., 0])
+            result["combined_variance"] = np.asarray(
+                res["combined"][..., 0])
         t = threshold if threshold is not None else self.threshold
         if t is not None:
-            mask = P.filter_small_components(
-                diff > float(t), o.minLesionSize)
+            mask, cc_conv = P.filter_small_components(
+                diff > float(t), o.minLesionSize, return_converged=True)
             result["mask"] = np.asarray(mask)
             result["anomalous_voxels"] = int(result["mask"].sum())
+            result["cc_converged"] = bool(cc_conv)
         return result

@@ -265,8 +265,12 @@ class UnifiedDecoder(nn.Module):
         )
         x = nn.relu(x)
         packed_head = self.depth_to_space_head and n > 0
+        # the Pallas backward packs the head gradient per ConvT phase and
+        # assumes a single head channel (ops/pallas_decoder.py `_bwd1`),
+        # so the fused path only engages for output_channels == 1
         fused_head = (self.fused_decoder_head and not packed_head
-                      and self.use_batchnorm and n > 0)
+                      and self.use_batchnorm and n > 0
+                      and self.output_channels == 1)
         n_convt = n - 1 if (packed_head or fused_head) else n
         for i in range(n_convt):
             filters = int(max(32, 128 // (2 ** i)))

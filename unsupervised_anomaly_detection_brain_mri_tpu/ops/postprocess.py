@@ -231,13 +231,23 @@ def num_components(labels: Array) -> Array:
 
 
 def filter_small_components(mask: Array, min_size: int = 7,
-                            max_iters: int = 1024) -> Array:
+                            max_iters: int = 1024,
+                            return_converged: bool = False):
     """Remove 26-connected components with filled_area <= min_size
-    (`Evaluation.py:113-127`).  mask: (S, H, W) -> float32 0/1."""
+    (`Evaluation.py:113-127`).  mask: (S, H, W) -> float32 0/1.
+
+    With ``return_converged`` the device-resident bool from
+    `connected_components_3d` is passed through so callers can surface a
+    warning when the iteration cap truncated label propagation (fragments
+    of a snake-shaped component could then be dropped as 'small')."""
     m = mask.astype(bool)
-    labels = connected_components_3d(m, max_iters)
+    labels, converged = connected_components_3d(
+        m, max_iters, return_converged=True)
     keep = per_voxel_component_size(labels) > min_size
-    return (m & keep).astype(jnp.float32)
+    out = (m & keep).astype(jnp.float32)
+    if return_converged:
+        return out, converged
+    return out
 
 
 def _labels_hit(labels: Array, hit_mask: Array) -> Array:
@@ -252,8 +262,8 @@ def _labels_hit(labels: Array, hit_mask: Array) -> Array:
 
 def detection_counts_chunk(pred: Array, gt: Array,
                            max_iters: int = 512
-                           ) -> Tuple[Array, Array, Array]:
-    """(TPs, FPs, FNs) for one slice chunk, parity with
+                           ) -> Tuple[Array, Array, Array, Array]:
+    """(TPs, FPs, FNs, converged) for one slice chunk, parity with
     `Evaluation.py:130-172`:
       * TP  = number of components of pred AND gt,
       * pred components with < 8 voxels are dropped before FP counting,
@@ -263,20 +273,23 @@ def detection_counts_chunk(pred: Array, gt: Array,
     pred = pred.astype(bool)
     gt = gt.astype(bool)
     inter = pred & gt
-    cc_inter = connected_components_3d(inter, max_iters)
+    cc_inter, conv_i = connected_components_3d(
+        inter, max_iters, return_converged=True)
     tps = num_components(cc_inter)
 
-    cc_pred = connected_components_3d(pred, max_iters)
+    cc_pred, conv_p = connected_components_3d(
+        pred, max_iters, return_converged=True)
     cc_pred = jnp.where(per_voxel_component_size(cc_pred) >= 8, cc_pred, 0)
     n_pred = _labels_hit(cc_pred, cc_pred > 0)
     pred_hit = _labels_hit(cc_pred, inter)
     fps = n_pred - pred_hit
 
-    cc_gt = connected_components_3d(gt, max_iters)
+    cc_gt, conv_g = connected_components_3d(
+        gt, max_iters, return_converged=True)
     n_gt = num_components(cc_gt)
     gt_hit = _labels_hit(cc_gt, inter)
     fns = n_gt - gt_hit
-    return tps, fps, fns
+    return tps, fps, fns, conv_i & conv_p & conv_g
 
 
 def volume_to_chunks(volume: Array, chunk: int = 20) -> Array:
@@ -296,7 +309,7 @@ def compute_detection_rate(pred_volume: Array, gt_volume: Array,
                            chunk: int = 20) -> Tuple[Array, Array, Array]:
     """Lesion-detection TP/FP/FN over per-20-slice chunks
     (`Evaluation.py:130-172`), batched over chunks in one dispatch."""
-    t, f, n = detection_counts_batch(
+    t, f, n, _ = detection_counts_batch(
         volume_to_chunks(pred_volume, chunk),
         volume_to_chunks(gt_volume, chunk))
     return jnp.sum(t), jnp.sum(f), jnp.sum(n)
