@@ -155,24 +155,22 @@ def _eroded_mask(skullmap, options: Options) -> jnp.ndarray:
         jnp.asarray(skullmap), jnp.bool_(options.erodeBrainmask))
 
 
-def _erode_postprocess_jit(erosion_iters: int, fused: bool, keep_pos: bool):
+def _erode_postprocess_jit(erosion_iters: int, keep_pos: bool):
     """ONE dispatch for erosion + residual post-processing (non-MC path —
     when MC masking needs the eroded mask separately, `_eroded_mask` +
-    `_postprocess` run as two)."""
-    from unsupervised_anomaly_detection_brain_mri_tpu.ops.pallas_postprocess import (
-        fused_residual_median_pallas,
-    )
+    `_postprocess` run as two).
+
+    A fully-fused Pallas kernel (residual+mask+prior+median in one HBM
+    pass) was built, proven bit-exact, and DELETED: the bisection median
+    dominates the cost, so fusing the elementwise prologue measured
+    1.00-1.02x at every cohort scale (448/1550/3875 slices, TPU v5e).
+    The Pallas win lives in `median_filter_3d_auto` (3.8x vs XLA)."""
 
     @jax.jit
     def fn(x, rec, skm, prior_q, erode, use_prior, use_median):
         eroded = jnp.where(
             erode, P.binary_erosion_2d(skm, erosion_iters),
             skm.astype(bool))
-        if fused:
-            q = jnp.where(use_prior, prior_q, -jnp.inf)
-            return fused_residual_median_pallas(
-                x, rec, eroded.astype(jnp.float32), q,
-                keep_only_positive=keep_pos)
         diff = (jnp.maximum(x - rec, 0.0) if keep_pos
                 else jnp.abs(x - rec))
         diff = diff * eroded.astype(diff.dtype)
@@ -189,25 +187,11 @@ def _erode_postprocess_jit(erosion_iters: int, fused: bool, keep_pos: bool):
 
 def _erode_and_postprocess(x, rec, skm, prior_q, options: Options):
     """Erosion + residual pipeline fused into one jitted dispatch."""
-    from unsupervised_anomaly_detection_brain_mri_tpu.ops.pallas_postprocess import (
-        fused_gate_ok,
-    )
-
-    def _multi_device(a) -> bool:
-        s = getattr(a, "sharding", None)
-        return s is not None and len(getattr(s, "device_set", ())) > 1
-
-    fused = (jax.default_backend() == "tpu"
-             and not _multi_device(rec)
-             and fused_gate_ok(
-                 bool(options.erodeBrainmask),
-                 int(options.erosionIterations),
-                 bool(options.medianFiltering)))
-    key = ("erode_pp", int(options.erosionIterations), fused,
+    key = ("erode_pp", int(options.erosionIterations),
            bool(options.keepOnlyPositiveResiduals))
     if key not in _POSTPROCESS_CACHE:
         _POSTPROCESS_CACHE[key] = _erode_postprocess_jit(
-            int(options.erosionIterations), fused,
+            int(options.erosionIterations),
             bool(options.keepOnlyPositiveResiduals))
     return _POSTPROCESS_CACHE[key](
         jnp.asarray(x), jnp.asarray(rec), jnp.asarray(skm),
@@ -217,32 +201,6 @@ def _erode_and_postprocess(x, rec, skm, prior_q, options: Options):
 
 
 def _postprocess(x, rec, eroded, prior_q, options: Options):
-    from unsupervised_anomaly_detection_brain_mri_tpu.ops.pallas_postprocess import (
-        fused_gate_ok,
-        fused_residual_median_pallas,
-    )
-
-    # one-pass fused Pallas path (residual+mask+prior+median in a single
-    # HBM read/write) whenever its zero-shell precondition holds — the
-    # parity-default eval config (12 erosion iters, median on); exact
-    # equivalence proven by tests/test_pallas_postprocess.py.  Mosaic
-    # kernels cannot be auto-partitioned: multi-device-sharded inputs
-    # (mesh evaluation) take the XLA composition instead.
-    def _multi_device(a) -> bool:
-        s = getattr(a, "sharding", None)
-        return s is not None and len(getattr(s, "device_set", ())) > 1
-
-    if (jax.default_backend() == "tpu"
-            and not _multi_device(rec) and not _multi_device(eroded)
-            and fused_gate_ok(
-                bool(options.erodeBrainmask), int(options.erosionIterations),
-                bool(options.medianFiltering))):
-        q = (prior_q if options.applyHyperIntensityPrior
-             else -float("inf"))
-        return fused_residual_median_pallas(
-            jnp.asarray(x), jnp.asarray(rec),
-            jnp.asarray(eroded).astype(jnp.float32), jnp.float32(q),
-            keep_only_positive=bool(options.keepOnlyPositiveResiduals))
     if "pipeline" not in _POSTPROCESS_CACHE:
         _POSTPROCESS_CACHE["pipeline"] = _postprocess_jit()
     return _POSTPROCESS_CACHE["pipeline"](
