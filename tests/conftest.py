@@ -25,6 +25,19 @@ try:
 except Exception:  # pragma: no cover - backend already initialised
     pass
 
+# Persistent XLA compile cache: the suite is compile-dominated on this
+# 1-core host (most test wall-clock is jit of near-identical graphs), so
+# warm re-runs drop far below the cold time.  Safe: keyed by HLO content
+# hash.  Lives under the repo (gitignored) so `rm -rf .cache` resets it.
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".cache", "jax_compile")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - older jax without the knobs
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -474,8 +474,11 @@ def test_golden_parity_mc_dropout():
         assert dev[k] == host[k], k
 
 
+@pytest.mark.slow
 def test_golden_parity_shape_sanity_skip():
-    """A truncated volume is skipped identically by both pipelines."""
+    """A truncated volume is skipped identically by both pipelines.
+    (Fast-tier twin: test_round2_fixes.py::test_eval_skips_truncated_volume
+    covers the device pipeline's skip behavior.)"""
     dev, host = _run_both(CASES["fixed_threshold"], truncate_last=True)
     assert len(dev["slices_per_patient"]) == 2
     assert len(host["slices_per_patient"]) == 2

@@ -1,5 +1,6 @@
 """Serving API test: workdir round trip -> volume inference."""
 
+import shutil
 import tempfile
 
 import numpy as np
@@ -10,6 +11,27 @@ from unsupervised_anomaly_detection_brain_mri_tpu.eval.inference import (
     AnomalyDetector,
 )
 from unsupervised_anomaly_detection_brain_mri_tpu.train import get_trainer
+
+
+@pytest.fixture(scope="module")
+def trained_workdir(synth_dataset):
+    """ONE 1-epoch AE training shared by every test; each test copies the
+    workdir so calibration files never cross-contaminate."""
+    wd = tempfile.mkdtemp()
+    cfg = Config(trainer="AE", model="autoencoder", batchsize=8,
+                 outputWidth=32, outputHeight=32, zDim=16, numEpochs=1,
+                 compute_dtype="float32")
+    tr = get_trainer("AE")(cfg, workdir=wd)
+    tr.fit(synth_dataset)
+    return wd
+
+
+@pytest.fixture()
+def workdir_copy(trained_workdir):
+    wd = tempfile.mkdtemp()
+    shutil.rmtree(wd)
+    shutil.copytree(trained_workdir, wd)
+    return wd
 
 
 @pytest.mark.slow
@@ -41,18 +63,12 @@ def test_detector_from_workdir(synth_dataset, synth_lesion_dataset):
                 >= res["scores"][~lesion_slices].mean() * 0.5)
 
 
-def test_detect_applies_eval_pipeline_erosion(synth_dataset,
+def test_detect_applies_eval_pipeline_erosion(workdir_copy,
                                               synth_lesion_dataset):
     """detect() must post-process exactly like the eval pipeline: with
     erodeBrainmask on, the residual map is masked by the ERODED brainmask,
-    so an n-iteration erosion zeroes an n-pixel shell at the image border
-    (also the fused Pallas kernel's zero-shell precondition on TPU)."""
-    wd = tempfile.mkdtemp()
-    cfg = Config(trainer="AE", model="autoencoder", batchsize=8,
-                 outputWidth=32, outputHeight=32, zDim=16, numEpochs=1,
-                 compute_dtype="float32")
-    tr = get_trainer("AE")(cfg, workdir=wd)
-    tr.fit(synth_dataset)
+    so an n-iteration erosion zeroes an n-pixel shell at the image border."""
+    wd = workdir_copy
 
     det = AnomalyDetector.from_workdir(
         wd, options=Options(erosionIterations=3))
@@ -66,7 +82,7 @@ def test_detect_applies_eval_pipeline_erosion(synth_dataset,
     assert np.any(amap != 0)  # interior survives
 
 
-def test_calibration_roundtrip(synth_dataset, synth_lesion_dataset):
+def test_calibration_roundtrip(workdir_copy, synth_lesion_dataset):
     """save_calibration -> from_workdir auto-loads threshold AND the eval
     options the threshold was fitted under."""
     from unsupervised_anomaly_detection_brain_mri_tpu.eval.inference import (
@@ -74,12 +90,7 @@ def test_calibration_roundtrip(synth_dataset, synth_lesion_dataset):
         save_calibration,
     )
 
-    wd = tempfile.mkdtemp()
-    cfg = Config(trainer="AE", model="autoencoder", batchsize=8,
-                 outputWidth=32, outputHeight=32, zDim=16, numEpochs=1,
-                 compute_dtype="float32")
-    tr = get_trainer("AE")(cfg, workdir=wd)
-    tr.fit(synth_dataset)
+    wd = workdir_copy
     opts = Options(erosionIterations=2, minLesionSize=3,
                    applyHyperIntensityPrior=False)
     save_calibration(wd, 0.42, 0.5, opts, dataset="SYNTH", epoch=1)
@@ -100,7 +111,7 @@ def test_calibration_roundtrip(synth_dataset, synth_lesion_dataset):
     assert det2.options.erosionIterations == 5
 
 
-def test_detect_honors_calibrated_mc_sampling(synth_dataset,
+def test_detect_honors_calibrated_mc_sampling(workdir_copy,
                                               synth_lesion_dataset):
     """A threshold calibrated under numMonteCarloSamples > 1 must be served
     under the SAME pipeline: detect() runs MC-dropout sampling, reports
@@ -111,12 +122,7 @@ def test_detect_honors_calibrated_mc_sampling(synth_dataset,
         save_calibration,
     )
 
-    wd = tempfile.mkdtemp()
-    cfg = Config(trainer="AE", model="autoencoder", batchsize=8,
-                 outputWidth=32, outputHeight=32, zDim=16, numEpochs=1,
-                 compute_dtype="float32")
-    tr = get_trainer("AE")(cfg, workdir=wd)
-    tr.fit(synth_dataset)
+    wd = workdir_copy
     opts = Options(erosionIterations=1, minLesionSize=2,
                    numMonteCarloSamples=3)
     save_calibration(wd, 0.3, 0.5, opts, dataset="SYNTH", epoch=1)

@@ -60,7 +60,15 @@ ZDIM = 16
 BATCH = 2
 
 
-@pytest.mark.parametrize("name", sorted(MODEL_REGISTRY))
+@pytest.mark.parametrize("name", [
+    # the two slowest-to-compile archs run nightly; both are still
+    # exercised in the fast tier through their trainer/GAN tests
+    pytest.param(n, marks=pytest.mark.slow)
+    if n in ("constrained_adversarial_autoencoder_Chen",
+             "context_encoder_variational_autoencoder_Zimmerer")
+    else n
+    for n in sorted(MODEL_REGISTRY)
+])
 def test_model_outputs(name):
     cfg = Config(model=name, outputWidth=SIZE, outputHeight=SIZE, zDim=ZDIM,
                  intermediateResolutions=(8, 8), batchsize=BATCH,

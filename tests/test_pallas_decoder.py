@@ -87,7 +87,10 @@ def test_pallas_forward_matches_reference():
     np.testing.assert_allclose(v_f, v_ref, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_gradients_match_reference():
+    # nightly: the fused head is experimental + off by default; forward
+    # match, param-tree, and model equivalence stay in the fast tier
     args = _args(B=2, H=6, Cin=5, Cout=3, seed=1)
 
     def loss_ref(*a):

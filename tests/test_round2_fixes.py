@@ -153,6 +153,7 @@ def test_checkpoint_restores_rng_and_step(synth_dataset):
         np.asarray(jax.random.key_data(template.rng)))
 
 
+@pytest.mark.slow
 def test_resume_is_bitwise_deterministic(synth_dataset):
     """Killed-and-resumed training reproduces an uninterrupted run exactly:
     data order is (seed, epoch)-keyed AND the rng stream + step are part of

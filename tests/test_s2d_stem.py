@@ -133,6 +133,7 @@ def test_perf_flags_reach_adversarial_family(name):
     assert out[spec.reconstruction_key].shape == (2, 32, 32, 1)
 
 
+@pytest.mark.slow
 def test_aae_trains_with_perf_flags(synth_dataset):
     cfg = Config(trainer="AAE", model="adversarial_autoencoder", batchsize=8,
                  outputWidth=32, outputHeight=32, zDim=16, numEpochs=2,

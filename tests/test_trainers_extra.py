@@ -55,13 +55,20 @@ def test_deterministic_epoch_order():
     assert not np.array_equal(a, c)
 
 
-def test_optimizer_variants_train(synth_dataset):
-    """SGD / MOMENTUM / RMS optimizer types (`trainers/DLMODEL.py:112-131`)."""
+@pytest.mark.parametrize("opt_name", [
+    "SGD",
+    pytest.param("MOMENTUM", marks=pytest.mark.slow),
+    pytest.param("RMSPROP", marks=pytest.mark.slow),
+])
+def test_optimizer_variants_train(synth_dataset, opt_name):
+    """SGD / MOMENTUM / RMS optimizer types (`trainers/DLMODEL.py:112-131`).
+    ADAM is exercised by every other training test; one non-ADAM variant
+    stays in the fast tier, the rest run nightly."""
     from unsupervised_anomaly_detection_brain_mri_tpu.config import Optimizer
 
-    for opt in (Optimizer.SGD, Optimizer.MOMENTUM, Optimizer.RMSPROP):
-        tr = get_trainer("AE")(_cfg("AE", "autoencoder", optimizer=opt,
-                                    learningrate=1e-3))
-        tr.fit(synth_dataset)
-        assert np.isfinite(
-            [h for h in tr.history if h["phase"] == "TRAIN"][0]["loss"])
+    opt = Optimizer[opt_name]
+    tr = get_trainer("AE")(_cfg("AE", "autoencoder", optimizer=opt,
+                                learningrate=1e-3))
+    tr.fit(synth_dataset)
+    assert np.isfinite(
+        [h for h in tr.history if h["phase"] == "TRAIN"][0]["loss"])
