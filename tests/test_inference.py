@@ -1,5 +1,6 @@
 """Serving API test: workdir round trip -> volume inference."""
 
+import json
 import shutil
 import tempfile
 
@@ -109,6 +110,97 @@ def test_calibration_roundtrip(workdir_copy, synth_lesion_dataset):
         wd, threshold=0.9, options=Options(erosionIterations=5))
     assert det2.threshold == 0.9
     assert det2.options.erosionIterations == 5
+
+
+def test_infer_cli_end_to_end(workdir_copy, synth_lesion_dataset, tmp_path,
+                              capsys):
+    """`run.py infer`: calibrated workdir + raw NIfTI scan -> anomaly map in
+    the SOURCE geometry, binary mask, and a machine-readable report."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.cli import main
+    from unsupervised_anomaly_detection_brain_mri_tpu.data.formats import (
+        write_nifti,
+    )
+    from unsupervised_anomaly_detection_brain_mri_tpu.data.volume import (
+        open_volume,
+    )
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval.inference import (
+        save_calibration,
+    )
+
+    wd = workdir_copy
+    opts = Options(erosionIterations=1, minLesionSize=2,
+                   applyHyperIntensityPrior=False)
+    save_calibration(wd, 0.35, 0.5, opts, dataset="SYNTH", epoch=1)
+
+    # a native-resolution scan with a non-identity affine, axial on axis 2
+    patient = synth_lesion_dataset.patients_of("TEST")[0]
+    vol, _, _, _ = synth_lesion_dataset.load_volume_and_groundtruth(patient)
+    affine = np.array([[0.0, 1.1, 0.0, -10.0],
+                       [1.2, 0.0, 0.0, 20.0],
+                       [0.0, 0.0, 1.3, 5.0],
+                       [0.0, 0.0, 0.0, 1.0]], np.float64)
+    scan = tmp_path / "patient7.nii.gz"
+    write_nifti(str(scan), vol.astype(np.float32), affine=affine)
+
+    outdir = tmp_path / "out"
+    rc = main(["infer", "--workdir", wd, "-i", str(scan),
+               "-o", str(outdir)])
+    assert rc == 0
+
+    report = json.loads((outdir / "patient7.report.json").read_text())
+    assert report["threshold"] == 0.35  # calibrated operating point served
+    assert report["calibration"]["bestDiceVAL"] == 0.5
+    assert len(report["slice_scores"]) == vol.shape[2]
+    assert report["anomalous_voxels"] >= 0 and report["cc_converged"]
+
+    # the exported map overlays on the source scan: same shape, same affine
+    amap = open_volume(str(outdir / "patient7.anomaly.nii.gz"))
+    assert amap.data.shape == vol.shape
+    np.testing.assert_allclose(
+        np.asarray(amap.meta["affine"])[:3], affine[:3], atol=1e-4)
+    assert np.isfinite(amap.data).all() and float(np.max(amap.data)) > 0
+
+    mask = open_volume(str(outdir / "patient7.anomaly.binary.nii.gz"))
+    assert mask.data.shape == vol.shape
+    assert set(np.unique(mask.data)) <= {0.0, 1.0}
+
+    out = capsys.readouterr().out
+    assert "peak slice score" in out and "anomalous voxels" in out
+
+
+def test_infer_cli_threshold_override_and_no_export(workdir_copy,
+                                                    synth_lesion_dataset,
+                                                    tmp_path):
+    """-O overrides the calibrated threshold; --no-export writes the report
+    only; without any threshold there is no binary mask."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.cli import main
+    from unsupervised_anomaly_detection_brain_mri_tpu.data.formats import (
+        write_nifti,
+    )
+
+    wd = workdir_copy  # NO calibration.json in this copy
+    patient = synth_lesion_dataset.patients_of("TEST")[0]
+    vol, _, _, _ = synth_lesion_dataset.load_volume_and_groundtruth(patient)
+    scan = tmp_path / "s.nii.gz"
+    write_nifti(str(scan), vol.astype(np.float32))
+
+    outdir = tmp_path / "o1"
+    assert main(["infer", "--workdir", wd, "-i", str(scan), "-O", "0.5",
+                 "-o", str(outdir), "--no-export"]) == 0
+    report = json.loads((outdir / "s.report.json").read_text())
+    assert report["threshold"] == 0.5
+    assert report["files"] == {}  # --no-export
+    assert not (outdir / "s.anomaly.nii.gz").exists()
+
+    # uncalibrated + no -O: maps only, no mask key in the report
+    outdir2 = tmp_path / "o2"
+    assert main(["infer", "--workdir", wd, "-i", str(scan),
+                 "-o", str(outdir2)]) == 0
+    report2 = json.loads((outdir2 / "s.report.json").read_text())
+    assert report2["threshold"] is None
+    assert "anomalous_voxels" not in report2
+    assert (outdir2 / "s.anomaly.nii.gz").exists()
+    assert not (outdir2 / "s.anomaly.binary.nii.gz").exists()
 
 
 def test_detect_honors_calibrated_mc_sampling(workdir_copy,

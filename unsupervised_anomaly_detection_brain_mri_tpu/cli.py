@@ -238,11 +238,147 @@ def validate_data_main(argv: Optional[List[str]] = None) -> int:
     return rc
 
 
+def infer_main(argv: Optional[List[str]] = None) -> int:
+    """``infer`` subcommand: serve a trained workdir on new scans.
+
+    Deployment counterpart of the training CLI (no reference equivalent —
+    the reference stopped at offline evaluation, `utils/Evaluation.py`):
+    restores the model + calibrated operating point written by the
+    threshold-transfer workflow (``calibration.json``), runs the exact
+    eval-pipeline post-processing on each input scan, and writes the
+    anomaly map back into the SOURCE scan's geometry (same de-zoom +
+    affine semantics as the residual export, `utils/Evaluation.py:323-334`)
+    plus a machine-readable ``report.json``.
+    """
+    import json
+
+    import numpy as np
+
+    from unsupervised_anomaly_detection_brain_mri_tpu.data.volume import (
+        open_volume,
+    )
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval.evaluate import (
+        export_residual_volume,
+    )
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval.inference import (
+        AnomalyDetector,
+    )
+    from unsupervised_anomaly_detection_brain_mri_tpu.utils.misc import (
+        enable_persistent_compilation_cache,
+    )
+
+    p = argparse.ArgumentParser(
+        prog="infer",
+        description="Detect anomalies in new scans with a trained workdir")
+    p.add_argument("--workdir", required=True, type=str,
+                   help="training workdir (config.json + checkpoint; a "
+                        "calibration.json written by threshold transfer is "
+                        "auto-loaded)")
+    p.add_argument("-i", "--input", action="append", required=True,
+                   type=str, help="scan path (.nii[.gz], .mnc[.gz], "
+                                  ".nrrd/.nhdr); repeatable")
+    p.add_argument("--brainmask", action="append", default=None, type=str,
+                   help="brainmask volume per input (repeatable, matched "
+                        "by position); default: intensity > 0.05 mask")
+    p.add_argument("-O", "--threshold", default=None, type=float,
+                   help="override the calibrated threshold")
+    p.add_argument("-n", "--numMonteCarloSamples", default=None, type=int,
+                   help="override the calibrated MC sample count")
+    p.add_argument("-o", "--output-dir", default=None, type=str,
+                   help="output directory (default: "
+                        "<workdir>/inference/<scan-stem>)")
+    p.add_argument("--no-export", action="store_true",
+                   help="skip NIfTI export; write report.json only")
+    args = p.parse_args(argv)
+
+    if args.brainmask and len(args.brainmask) != len(args.input):
+        p.error(f"{len(args.brainmask)} --brainmask for "
+                f"{len(args.input)} --input (must match by position)")
+
+    enable_persistent_compilation_cache()
+    det = AnomalyDetector.from_workdir(args.workdir,
+                                       threshold=args.threshold)
+    if args.numMonteCarloSamples is not None:
+        det.options = det.options.replace(
+            numMonteCarloSamples=args.numMonteCarloSamples)
+    if det.threshold is None:
+        print("NOTE: no threshold (no calibration.json in the workdir and "
+              "no -O/--threshold) — anomaly maps only, no binary masks.")
+
+    def scan_stem(path: str) -> str:
+        name = os.path.basename(path)
+        for ext in (".nii.gz", ".mnc.gz", ".nii", ".mnc", ".nrrd", ".nhdr"):
+            if name.endswith(ext):
+                return name[: -len(ext)]
+        return os.path.splitext(name)[0]
+
+    rc = 0
+    for idx, path in enumerate(args.input):
+        nii = open_volume(path)
+        axis = nii.view_mapping["axial"]
+        vol = np.moveaxis(np.asarray(nii.data, np.float32), axis, 2)
+        bm = None
+        if args.brainmask:
+            bnii = open_volume(args.brainmask[idx])
+            bm = np.moveaxis(np.asarray(bnii.data, np.float32),
+                             bnii.view_mapping["axial"], 2)
+        res = det.detect(vol, brainmask=bm)
+
+        stem = scan_stem(path)
+        outdir = args.output_dir or os.path.join(
+            args.workdir, "inference", stem)
+        os.makedirs(outdir, exist_ok=True)
+
+        files = {}
+        if not args.no_export:
+            geo = nii.geometry()
+            geo["axis_index"] = axis
+            geo["slice_range"] = (0, vol.shape[2])
+            map_path = os.path.join(outdir, f"{stem}.anomaly.nii.gz")
+            export_residual_volume(map_path, res["anomaly_map"], geo,
+                                   threshold=det.threshold)
+            files["anomaly_map"] = map_path
+            if det.threshold is not None:
+                files["binary_mask"] = map_path[:-7] + ".binary.nii.gz"
+
+        report = {
+            "input": os.path.abspath(path),
+            "workdir": os.path.abspath(args.workdir),
+            "threshold": det.threshold,
+            "calibration": det.calibration,
+            "model_resolution": [int(v) for v in
+                                 res["anomaly_map"].shape[1:]],
+            "num_slices": int(vol.shape[2]),
+            "slice_scores": [float(v) for v in res["scores"]],
+            "files": files,
+        }
+        for key in ("anomalous_voxels", "cc_converged"):
+            if key in res:
+                report[key] = res[key]
+        if "epistemic_variance" in res:
+            report["max_epistemic_variance"] = float(
+                res["epistemic_variance"].max())
+        report_path = os.path.join(outdir, f"{stem}.report.json")
+        with open(report_path, "w") as f:
+            json.dump(report, f, indent=2)
+
+        summary = f"{path}: peak slice score {max(report['slice_scores']):.4f}"
+        if "anomalous_voxels" in report:
+            summary += f", {report['anomalous_voxels']} anomalous voxels"
+        print(summary)
+        print(f"  report: {report_path}")
+        for k, v in files.items():
+            print(f"  {k}: {v}")
+    return rc
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "validate-data":
         return validate_data_main(argv[1:])
+    if argv and argv[0] == "infer":
+        return infer_main(argv[1:])
     from unsupervised_anomaly_detection_brain_mri_tpu.config import (
         MeshConfig,
         preset,
