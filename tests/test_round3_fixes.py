@@ -231,3 +231,51 @@ def test_heatmaps_comparable_across_slices(tmp_path):
     h0 = imageio.imread(os.path.join(d, "0_heatmap.png"))
     h1 = imageio.imread(os.path.join(d, "1_heatmap.png"))
     assert not np.array_equal(h0[:, :-1], h1[:, :-1])
+
+
+def test_slice_png_artifact_parity(synth_lesion_dataset, tmp_path):
+    """exportPNGs dumps the reference's per-slice artifact set under
+    `{patient}_{absolute slice}` names: the raw pre-median `_diff.png`
+    (:305) PLUS `_diff_filtered.png`/`_heatmap.png` from the filtered
+    stack (:311-321) and the `_vis.png` overlay (:501-507)."""
+    import glob
+
+    import imageio.v2 as imageio
+
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval import evaluate
+
+    tr, state = _mk("AE", "autoencoder")
+    opts = Options(paths=PathConfig(sample_dir=str(tmp_path)),
+                   erosionIterations=1, minLesionSize=2,
+                   exportPNGs=True, medianFiltering=True)
+    res = evaluate(synth_lesion_dataset, tr, state, opts, tr.config)
+    sdir = os.path.join(res["eval_dir"], "samples_test_PC")
+    s0 = int(getattr(synth_lesion_dataset.options, "sliceStart", 0))
+    pre = f"0_{s0}"
+    for suffix in ("", "_rec", "_gt", "_diff", "_diff_filtered",
+                   "_heatmap", "_vis"):
+        path = os.path.join(sdir, f"{pre}{suffix}.png")
+        assert os.path.exists(path), f"missing {pre}{suffix}.png"
+    # an untrained AE's residuals are speckled -> the 5^3 median visibly
+    # differs from the raw residual
+    raw = imageio.imread(os.path.join(sdir, f"{pre}_diff.png"))
+    filt = imageio.imread(os.path.join(sdir, f"{pre}_diff_filtered.png"))
+    assert raw.shape == filt.shape
+    assert not np.array_equal(raw, filt)
+    # second kept TEST patient enumerates as prefix "1_"
+    assert glob.glob(os.path.join(sdir, "1_*_diff.png"))
+
+
+def test_logvar_png_export(tmp_path):
+    """Models emitting a `log_var` head get `{p}_{s}_logvar.png` dumps
+    (`utils/Evaluation.py:306-309`)."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval import artifacts
+
+    d = str(tmp_path)
+    x = np.zeros((2, 8, 8), np.float32)
+    lv = np.stack([np.full((8, 8), -1.0, np.float32),
+                   np.full((8, 8), 1.0, np.float32)])
+    artifacts.export_slice_images(d, x, x, x, x, x, log_vars=lv,
+                                  names=["0_20", "0_21"])
+    assert os.path.exists(os.path.join(d, "0_20_logvar.png"))
+    assert os.path.exists(os.path.join(d, "0_21_logvar.png"))

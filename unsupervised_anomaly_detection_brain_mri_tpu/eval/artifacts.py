@@ -170,26 +170,44 @@ def residual_heatmap(diff: np.ndarray) -> np.ndarray:
 def export_slice_images(sample_dir: str, x: np.ndarray, recs: np.ndarray,
                         diffs: np.ndarray, labelmaps: np.ndarray,
                         thresholded: np.ndarray,
-                        epistemic: Optional[np.ndarray] = None) -> None:
-    """Per-slice PNG dumps (`utils/Evaluation.py:302-321,501-507`)."""
+                        epistemic: Optional[np.ndarray] = None,
+                        raw_diffs: Optional[np.ndarray] = None,
+                        log_vars: Optional[np.ndarray] = None,
+                        names: Optional[list] = None) -> None:
+    """Per-slice PNG dumps (`utils/Evaluation.py:302-321,501-507`).
+
+    ``diffs`` is the POST-median residual (the reference's
+    ``_diff_filtered``/``_heatmap`` source, :311-321); ``raw_diffs`` is the
+    pre-median residual behind ``_diff.png`` (:305) — when absent, the
+    filtered stack stands in for both.  ``names`` carries the reference's
+    ``{patient}_{absolute slice}`` prefixes (:302, :501-507); without it
+    the global slice index is used.
+    """
     os.makedirs(sample_dir, exist_ok=True)
     for i in range(x.shape[0]):
+        pre = names[i] if names is not None else str(i)
         if epistemic is not None:
             heat = plt.cm.jet(_norm_u8(epistemic[i]) / 255.0)[..., :3]
             imageio.imwrite(
-                os.path.join(sample_dir, f"{i}_rec_variance_combined.png"),
+                os.path.join(sample_dir, f"{pre}_rec_variance_combined.png"),
                 (heat * 255).astype(np.uint8))
-        imageio.imwrite(os.path.join(sample_dir, f"{i}.png"),
+        if log_vars is not None:
+            imageio.imwrite(os.path.join(sample_dir, f"{pre}_logvar.png"),
+                            _norm_u8(log_vars[i]))
+        imageio.imwrite(os.path.join(sample_dir, f"{pre}.png"),
                         _norm_u8(x[i]))
-        imageio.imwrite(os.path.join(sample_dir, f"{i}_rec.png"),
+        imageio.imwrite(os.path.join(sample_dir, f"{pre}_rec.png"),
                         _norm_u8(recs[i]))
-        imageio.imwrite(os.path.join(sample_dir, f"{i}_gt.png"),
+        imageio.imwrite(os.path.join(sample_dir, f"{pre}_gt.png"),
                         _norm_u8(labelmaps[i]))
-        imageio.imwrite(os.path.join(sample_dir, f"{i}_diff.png"),
+        imageio.imwrite(
+            os.path.join(sample_dir, f"{pre}_diff.png"),
+            _norm_u8(raw_diffs[i] if raw_diffs is not None else diffs[i]))
+        imageio.imwrite(os.path.join(sample_dir, f"{pre}_diff_filtered.png"),
                         _norm_u8(diffs[i]))
-        imageio.imwrite(os.path.join(sample_dir, f"{i}_heatmap.png"),
+        imageio.imwrite(os.path.join(sample_dir, f"{pre}_heatmap.png"),
                         residual_heatmap(diffs[i]))
         imageio.imwrite(
-            os.path.join(sample_dir, f"{i}_vis.png"),
+            os.path.join(sample_dir, f"{pre}_vis.png"),
             overlay_prediction_groundtruth(x[i], thresholded[i],
                                            labelmaps[i]))

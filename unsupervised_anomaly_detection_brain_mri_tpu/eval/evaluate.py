@@ -137,7 +137,9 @@ def _postprocess_jit():
         )
 
         filtered = median_filter_3d_auto(diff, 5)
-        return jnp.where(use_median, filtered, diff)
+        # raw (pre-median) residual feeds the `_diff.png` artifacts
+        # (`Evaluation.py:302-309` dumps before the median, :311-317 after)
+        return jnp.where(use_median, filtered, diff), diff
 
     return fn
 
@@ -180,12 +182,13 @@ def _erode_postprocess_jit(erosion_iters: int, keep_pos: bool):
         )
 
         filtered = median_filter_3d_auto(diff, 5)
-        return jnp.where(use_median, filtered, diff)
+        return jnp.where(use_median, filtered, diff), diff
 
     return fn
 
 
-def _erode_and_postprocess(x, rec, skm, prior_q, options: Options):
+def _erode_and_postprocess(x, rec, skm, prior_q, options: Options,
+                           want_raw: bool = False):
     """Erosion + residual pipeline fused into one jitted dispatch."""
     key = ("erode_pp", int(options.erosionIterations),
            bool(options.keepOnlyPositiveResiduals))
@@ -193,22 +196,25 @@ def _erode_and_postprocess(x, rec, skm, prior_q, options: Options):
         _POSTPROCESS_CACHE[key] = _erode_postprocess_jit(
             int(options.erosionIterations),
             bool(options.keepOnlyPositiveResiduals))
-    return _POSTPROCESS_CACHE[key](
+    out = _POSTPROCESS_CACHE[key](
         jnp.asarray(x), jnp.asarray(rec), jnp.asarray(skm),
         jnp.float32(prior_q), jnp.bool_(options.erodeBrainmask),
         jnp.bool_(options.applyHyperIntensityPrior),
         jnp.bool_(options.medianFiltering))
+    return out if want_raw else out[0]
 
 
-def _postprocess(x, rec, eroded, prior_q, options: Options):
+def _postprocess(x, rec, eroded, prior_q, options: Options,
+                 want_raw: bool = False):
     if "pipeline" not in _POSTPROCESS_CACHE:
         _POSTPROCESS_CACHE["pipeline"] = _postprocess_jit()
-    return _POSTPROCESS_CACHE["pipeline"](
+    out = _POSTPROCESS_CACHE["pipeline"](
         jnp.asarray(x), jnp.asarray(rec), jnp.asarray(eroded),
         jnp.float32(prior_q),
         jnp.bool_(options.keepOnlyPositiveResiduals),
         jnp.bool_(options.applyHyperIntensityPrior),
         jnp.bool_(options.medianFiltering))
+    return out if want_raw else out[0]
 
 
 def export_residual_volume(path: str, diff_sub: np.ndarray,
@@ -270,6 +276,7 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
 
     xs, recs, diffs, labelmaps, geoms = [], [], [], [], []
     l1s, l2s, times, epistemics, combineds = [], [], [], [], []
+    raw_diffs, log_vars, slice_names = [], [], []
     target = (config.outputHeight, config.outputWidth)
     rng = jax.random.key(config.seed + 7)
     slice_span = (getattr(dataset.options, "sliceEnd", 0)
@@ -307,9 +314,21 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
         rec = res["reconstruction"][..., 0]
 
         if mc > 1:
-            diff = _postprocess(x, rec, eroded, prior_q, options)
+            diff, raw = _postprocess(x, rec, eroded, prior_q, options,
+                                     want_raw=True)
         else:
-            diff = _erode_and_postprocess(x, rec, skm, prior_q, options)
+            diff, raw = _erode_and_postprocess(x, rec, skm, prior_q,
+                                               options, want_raw=True)
+        if options.exportPNGs:
+            # pre-median residuals + per-MC-mean log-variance maps feed the
+            # `_diff.png` / `_logvar.png` artifacts (:302-309); host copies
+            # only when PNGs are requested
+            raw_diffs.append(np.asarray(raw))
+            if res["log_var"] is not None:
+                log_vars.append(np.asarray(res["log_var"][..., 0]))
+            kept_idx = len(xs)  # index among kept patients, parity with
+            # the reference's enumeration of evaluated patients (:195)
+            slice_names.extend(f"{kept_idx}_{s}" for s in range(s0, s1))
 
         # residuals accumulate on DEVICE (every downstream curve/CC/metric
         # consumer is on-device; ONE host copy is made where artifacts need
@@ -357,6 +376,11 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
         eval_dict["epistemic_variance"] = np.concatenate(epistemics)
         # combined aleatoric+epistemic variance (x_recs_var, :265-270)
         eval_dict["combined_variance"] = np.concatenate(combineds)
+    if raw_diffs:
+        eval_dict["raw_diffs"] = np.concatenate(raw_diffs)
+        eval_dict["slice_names"] = slice_names
+    if log_vars:
+        eval_dict["log_vars"] = np.concatenate(log_vars)
     kept = [pt for p, pt in enumerate(patients) if p not in skipped]
     return eval_dict, kept
 
@@ -551,7 +575,10 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
             diffs_np, eval_pc["labelmaps"],
             np.asarray(thresholded),
             epistemic=eval_pc.get("combined_variance",
-                                  eval_pc.get("epistemic_variance")))
+                                  eval_pc.get("epistemic_variance")),
+            raw_diffs=eval_pc.get("raw_diffs"),
+            log_vars=eval_pc.get("log_vars"),
+            names=eval_pc.get("slice_names"))
 
     if options.exportVolumes:
         # residual-volume NIfTI export (+ binary at the operating point)
@@ -572,7 +599,8 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
               if k not in ("x", "diffs", "labelmaps", "reconstructions",
                            "geometries", "l1reconstructionErrors",
                            "l2reconstructionErrors", "epistemic_variance",
-                           "combined_variance")}
+                           "combined_variance", "raw_diffs", "log_vars",
+                           "slice_names")}
     np.save(os.path.join(eval_dir, "evalPC.npy"), export)  # type: ignore
     with open(os.path.join(eval_dir, "evalPC.txt"), "w") as f:
         f.write(str(export))
@@ -614,7 +642,10 @@ def determine_threshold_on_labeled_patients(
                 artifacts.export_slice_images(
                     sample_dir, ed["x"], np.asarray(ed["reconstructions"]),
                     d_np, ed["labelmaps"], np.zeros_like(d_np),
-                    epistemic=np.asarray(ep) if ep is not None else None)
+                    epistemic=np.asarray(ep) if ep is not None else None,
+                    raw_diffs=ed.get("raw_diffs"),
+                    log_vars=ed.get("log_vars"),
+                    names=ed.get("slice_names"))
     diffs = jnp.concatenate(all_diffs)
     labels = jnp.asarray(np.concatenate(all_labels)) > 0.5
     best_dice, best_thresh = M.best_dice_threshold(
