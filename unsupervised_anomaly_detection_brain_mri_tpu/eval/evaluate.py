@@ -122,9 +122,11 @@ def _erode_jit(erosion_iters: int):
     return fn
 
 
-def _postprocess_jit():
+def _postprocess_jit(want_raw: bool):
     """Jitted residual pipeline: residual -> eroded brainmask -> prior ->
-    median filter (:282-312)."""
+    median filter (:282-312).  With ``want_raw`` the pre-median residual is
+    emitted too (it feeds the `_diff.png` artifacts, `Evaluation.py:305`);
+    compiled as a separate variant so the metrics-only path pays nothing."""
 
     @jax.jit
     def fn(x, rec, eroded, prior_q, keep_pos, use_prior, use_median):
@@ -137,9 +139,8 @@ def _postprocess_jit():
         )
 
         filtered = median_filter_3d_auto(diff, 5)
-        # raw (pre-median) residual feeds the `_diff.png` artifacts
-        # (`Evaluation.py:302-309` dumps before the median, :311-317 after)
-        return jnp.where(use_median, filtered, diff), diff
+        out = jnp.where(use_median, filtered, diff)
+        return (out, diff) if want_raw else out
 
     return fn
 
@@ -157,7 +158,8 @@ def _eroded_mask(skullmap, options: Options) -> jnp.ndarray:
         jnp.asarray(skullmap), jnp.bool_(options.erodeBrainmask))
 
 
-def _erode_postprocess_jit(erosion_iters: int, keep_pos: bool):
+def _erode_postprocess_jit(erosion_iters: int, keep_pos: bool,
+                           want_raw: bool):
     """ONE dispatch for erosion + residual post-processing (non-MC path —
     when MC masking needs the eroded mask separately, `_eroded_mask` +
     `_postprocess` run as two).
@@ -182,7 +184,8 @@ def _erode_postprocess_jit(erosion_iters: int, keep_pos: bool):
         )
 
         filtered = median_filter_3d_auto(diff, 5)
-        return jnp.where(use_median, filtered, diff), diff
+        out = jnp.where(use_median, filtered, diff)
+        return (out, diff) if want_raw else out
 
     return fn
 
@@ -191,30 +194,29 @@ def _erode_and_postprocess(x, rec, skm, prior_q, options: Options,
                            want_raw: bool = False):
     """Erosion + residual pipeline fused into one jitted dispatch."""
     key = ("erode_pp", int(options.erosionIterations),
-           bool(options.keepOnlyPositiveResiduals))
+           bool(options.keepOnlyPositiveResiduals), want_raw)
     if key not in _POSTPROCESS_CACHE:
         _POSTPROCESS_CACHE[key] = _erode_postprocess_jit(
             int(options.erosionIterations),
-            bool(options.keepOnlyPositiveResiduals))
-    out = _POSTPROCESS_CACHE[key](
+            bool(options.keepOnlyPositiveResiduals), want_raw)
+    return _POSTPROCESS_CACHE[key](
         jnp.asarray(x), jnp.asarray(rec), jnp.asarray(skm),
         jnp.float32(prior_q), jnp.bool_(options.erodeBrainmask),
         jnp.bool_(options.applyHyperIntensityPrior),
         jnp.bool_(options.medianFiltering))
-    return out if want_raw else out[0]
 
 
 def _postprocess(x, rec, eroded, prior_q, options: Options,
                  want_raw: bool = False):
-    if "pipeline" not in _POSTPROCESS_CACHE:
-        _POSTPROCESS_CACHE["pipeline"] = _postprocess_jit()
-    out = _POSTPROCESS_CACHE["pipeline"](
+    key = ("pipeline", want_raw)
+    if key not in _POSTPROCESS_CACHE:
+        _POSTPROCESS_CACHE[key] = _postprocess_jit(want_raw)
+    return _POSTPROCESS_CACHE[key](
         jnp.asarray(x), jnp.asarray(rec), jnp.asarray(eroded),
         jnp.float32(prior_q),
         jnp.bool_(options.keepOnlyPositiveResiduals),
         jnp.bool_(options.applyHyperIntensityPrior),
         jnp.bool_(options.medianFiltering))
-    return out if want_raw else out[0]
 
 
 def export_residual_volume(path: str, diff_sub: np.ndarray,
@@ -313,12 +315,14 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
         times.append((time.time() - t0) / max(len(x), 1))
         rec = res["reconstruction"][..., 0]
 
+        want_raw = bool(options.exportPNGs)
         if mc > 1:
-            diff, raw = _postprocess(x, rec, eroded, prior_q, options,
-                                     want_raw=True)
+            out = _postprocess(x, rec, eroded, prior_q, options,
+                               want_raw=want_raw)
         else:
-            diff, raw = _erode_and_postprocess(x, rec, skm, prior_q,
-                                               options, want_raw=True)
+            out = _erode_and_postprocess(x, rec, skm, prior_q, options,
+                                         want_raw=want_raw)
+        diff, raw = out if want_raw else (out, None)
         if options.exportPNGs:
             # pre-median residuals + per-MC-mean log-variance maps feed the
             # `_diff.png` / `_logvar.png` artifacts (:302-309); host copies
@@ -433,6 +437,9 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
         pos = ev[ev >= 0]
         if pos.size:
             p998 = float(np.percentile(pos, 99.8))
+            # kept in evalPC.npy, matching the reference (:407-409)
+            eval_pc["uncertaintyHistogram"], _ = np.histogram(
+                ev, bins=50, range=(1e-5, max(p998, 2e-5)))
             artifacts.plot_histogram_with_labels(
                 ev, eval_pc["labelmaps"], 50, (1e-5, max(p998, 2e-5)),
                 "Histogram of epistemic variances",
@@ -600,7 +607,7 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
                            "geometries", "l1reconstructionErrors",
                            "l2reconstructionErrors", "epistemic_variance",
                            "combined_variance", "raw_diffs", "log_vars",
-                           "slice_names")}
+                           "slice_names", "diffHistogram")}
     np.save(os.path.join(eval_dir, "evalPC.npy"), export)  # type: ignore
     with open(os.path.join(eval_dir, "evalPC.txt"), "w") as f:
         f.write(str(export))
