@@ -43,6 +43,48 @@ def test_preset_flag(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_ds_without_threshold_single_bestdice_eval(tmp_path, monkeypatch):
+    """Reference `run.py:60-63`: `-d DATASET` with no threshold runs ONE
+    best-dice evaluation on that dataset at the default prior setting
+    (True, `utils/default_config_setup.py:54`) and returns — no prior
+    sweep, no threshold transfer."""
+    import unsupervised_anomaly_detection_brain_mri_tpu.cli as cli
+    import unsupervised_anomaly_detection_brain_mri_tpu.eval as eval_pkg
+
+    real_build = cli.build_dataset
+    from unsupervised_anomaly_detection_brain_mri_tpu.config import Dataset
+
+    def fake_build(options, config, dataset, split_role):
+        # substitute the synthetic phantom for the (absent) MSLUB archive
+        return real_build(options, config, Dataset.SYNTH, split_role)
+
+    calls = []
+
+    def fake_evaluate(ds, trainer, state, options, config, **kw):
+        calls.append((kw.get("description"), options))
+        return {"diff_AUC": 0.5, "diff_AUPRC": 0.5, "bestDiceScore": 0.5}
+
+    def fail_transfer(*a, **kw):  # pragma: no cover - must not run
+        raise AssertionError("-d without threshold must not run transfer")
+
+    monkeypatch.setattr(cli, "build_dataset", fake_build)
+    monkeypatch.setattr(eval_pkg, "evaluate", fake_evaluate)
+    monkeypatch.setattr(eval_pkg, "determine_threshold_on_labeled_patients",
+                        fail_transfer)
+
+    rc = main(["-t", "AE", "-m", "autoencoder", "-d", "MSLUB", "-b", "8",
+               "-E", "1", "-z", "16", "-w", "32", "-g", "32", "-s", "0",
+               "-e", "8", "--precision", "float32",
+               "--workdir", str(tmp_path / "work")])
+    assert rc == 0
+    assert len(calls) == 1, "expected exactly ONE eval (reference :60-63)"
+    desc, options = calls[0]
+    assert "upperbound" in desc and "MSLUB" in desc
+    assert options.applyHyperIntensityPrior is True
+    assert options.threshold is None
+
+
+@pytest.mark.slow
 def test_cli_threshold_transfer_writes_calibration(tmp_path):
     """The transfer workflow (no --threshold) must persist the calibrated
     operating point; serving auto-loads it (VERDICT r2 item 6)."""

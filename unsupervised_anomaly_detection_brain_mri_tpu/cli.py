@@ -521,6 +521,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         flush_metrics()
         return 0
 
+    if args.ds and not args.synthetic:
+        # reference `run.py:60-63`: `-d` without a threshold runs ONE
+        # best-dice eval on that dataset at the options' prior setting
+        # (default True, `default_config_setup.py:54`) and returns —
+        # no prior sweep, no threshold transfer
+        kind = eval_kinds[0]
+        desc = f"{kind.value}_upperbound_bestdice_wPrior"
+        res = evaluate(eval_ds(kind), trainer, state,
+                       options.replace(threshold=None,
+                                       applyHyperIntensityPrior=True),
+                       config, epoch=config.numEpochs, description=desc)
+        record_metrics(res, kind, desc)
+        flush_metrics()
+        return 0
+
     # best-dice upper bound, with and without the hyperintensity prior
     for prior in (False, True):
         for kind in eval_kinds:
