@@ -123,7 +123,12 @@ CLI_DEFAULTS = {
 
 
 def make_parser() -> argparse.ArgumentParser:
-    p = argparse.ArgumentParser(description="Framework")
+    p = argparse.ArgumentParser(
+        description="Framework",
+        epilog="subcommands (run as the first argument): "
+               "'validate-data' dry-runs dataset-layout discovery; "
+               "'infer' serves a calibrated workdir on new scans — "
+               "see 'run.py validate-data --help' / 'run.py infer --help'")
     p.add_argument("-c", "--config", default=None, type=str,
                    help="config-path (JSON path roots)")
     p.add_argument("-b", "--batchsize", default=None, type=int)
@@ -252,21 +257,6 @@ def infer_main(argv: Optional[List[str]] = None) -> int:
     """
     import json
 
-    import numpy as np
-
-    from unsupervised_anomaly_detection_brain_mri_tpu.data.volume import (
-        open_volume,
-    )
-    from unsupervised_anomaly_detection_brain_mri_tpu.eval.evaluate import (
-        export_residual_volume,
-    )
-    from unsupervised_anomaly_detection_brain_mri_tpu.eval.inference import (
-        AnomalyDetector,
-    )
-    from unsupervised_anomaly_detection_brain_mri_tpu.utils.misc import (
-        enable_persistent_compilation_cache,
-    )
-
     p = argparse.ArgumentParser(
         prog="infer",
         description="Detect anomalies in new scans with a trained workdir")
@@ -294,6 +284,23 @@ def infer_main(argv: Optional[List[str]] = None) -> int:
     if args.brainmask and len(args.brainmask) != len(args.input):
         p.error(f"{len(args.brainmask)} --brainmask for "
                 f"{len(args.input)} --input (must match by position)")
+
+    # heavy (JAX-initializing) imports only AFTER flag validation: --help
+    # and usage errors must not wait on device-backend startup
+    import numpy as np
+
+    from unsupervised_anomaly_detection_brain_mri_tpu.data.volume import (
+        open_volume,
+    )
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval.evaluate import (
+        export_residual_volume,
+    )
+    from unsupervised_anomaly_detection_brain_mri_tpu.eval.inference import (
+        AnomalyDetector,
+    )
+    from unsupervised_anomaly_detection_brain_mri_tpu.utils.misc import (
+        enable_persistent_compilation_cache,
+    )
 
     enable_persistent_compilation_cache()
     det = AnomalyDetector.from_workdir(args.workdir,
@@ -379,6 +386,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         return validate_data_main(argv[1:])
     if argv and argv[0] == "infer":
         return infer_main(argv[1:])
+    # parse BEFORE importing anything that initializes JAX: --help and
+    # flag errors must not wait on (or fail with) device-backend startup
+    args = make_parser().parse_args(argv)
     from unsupervised_anomaly_detection_brain_mri_tpu.config import (
         MeshConfig,
         preset,
@@ -397,7 +407,6 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
 
     enable_persistent_compilation_cache()
-    args = make_parser().parse_args(argv)
     passed = {k for k, v in vars(args).items()
               if v is not None and k in CLI_DEFAULTS}
     for k, v in CLI_DEFAULTS.items():
