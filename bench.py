@@ -20,7 +20,9 @@ value fetch, and each measurement takes the best of ``TRIALS`` runs.
 """
 
 import json
+import os
 import signal
+import threading
 import time
 
 import jax
@@ -31,24 +33,43 @@ TRIALS = 2  # best-of-2: bounded runtime under the driver's bench timeout
 
 # watchdog: the remote-TPU tunnel can hang mid-call for minutes; if that
 # happens late in the run, emit the headline JSON from what was already
-# measured instead of timing out with nothing.  Best-effort — a hang
-# inside a C-level wait may delay signal delivery.  Normal warm runtime
-# is ~350 s (persistent compilation cache).
+# measured instead of timing out with nothing.  SIGALRM handles hangs
+# between Python bytecodes; a daemon-thread timer backstops hangs inside
+# C-level waits (e.g. a blocking transport call), where CPython cannot
+# deliver the signal to the main thread.  Normal warm runtime is ~350 s
+# (persistent compilation cache).
 WATCHDOG_SECS = 540
 _partial = {"value": None, "vs_baseline": None, "detail": None}
+_reported = threading.Event()
+
+
+def _emit_headline(note: str) -> None:
+    if _reported.is_set():
+        return
+    _reported.set()
+    print(json.dumps({
+        "metric": "brainweb_ae_train_throughput",
+        "value": _partial["value"] or 0.0,
+        "unit": "slices/sec/chip",
+        "vs_baseline": _partial["vs_baseline"] or 0.0,
+        "detail": {**(_partial["detail"] or {}), "watchdog": note},
+    }), flush=True)
+
+
+def _hang_note() -> str:
+    return ("tunnel hang - partial results" if _partial["value"] is not None
+            else "device unreachable - no measurement completed "
+                 "(remote-TPU tunnel down?)")
 
 
 def _watchdog(signum, frame):  # pragma: no cover - only fires on hangs
-    if _partial["value"] is not None:
-        print(json.dumps({
-            "metric": "brainweb_ae_train_throughput",
-            "value": _partial["value"],
-            "unit": "slices/sec/chip",
-            "vs_baseline": _partial["vs_baseline"] or 0.0,
-            "detail": {**(_partial["detail"] or {}),
-                       "watchdog": "tunnel hang - partial results"},
-        }), flush=True)
+    _emit_headline(_hang_note())
     raise SystemExit(0 if _partial["value"] is not None else 1)
+
+
+def _thread_watchdog():  # pragma: no cover - only fires on C-level hangs
+    _emit_headline(_hang_note())
+    os._exit(0 if _partial["value"] is not None else 1)
 
 
 def _best_throughput(fn, units_per_call: int, n_calls: int) -> float:
@@ -64,6 +85,9 @@ def _best_throughput(fn, units_per_call: int, n_calls: int) -> float:
 def main() -> None:
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(WATCHDOG_SECS)
+    timer = threading.Timer(WATCHDOG_SECS + 20, _thread_watchdog)
+    timer.daemon = True
+    timer.start()
     from unsupervised_anomaly_detection_brain_mri_tpu.utils.misc import (
         enable_persistent_compilation_cache,
     )
@@ -376,13 +400,15 @@ def main() -> None:
         detail["gmvae_bench_error"] = str(e)[:120]
 
     signal.alarm(0)
-    print(json.dumps({
-        "metric": "brainweb_ae_train_throughput",
-        "value": round(native_sps, 1),
-        "unit": "slices/sec/chip",
-        "vs_baseline": round(native_sps / baseline_sps, 2),
-        "detail": detail,
-    }))
+    if not _reported.is_set():
+        _reported.set()  # disarm the thread watchdog
+        print(json.dumps({
+            "metric": "brainweb_ae_train_throughput",
+            "value": round(native_sps, 1),
+            "unit": "slices/sec/chip",
+            "vs_baseline": round(native_sps / baseline_sps, 2),
+            "detail": detail,
+        }))
 
 
 if __name__ == "__main__":
