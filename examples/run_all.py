@@ -25,6 +25,15 @@ import traceback
 # runnable from any working directory
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# honor JAX_PLATFORMS in-process: out-of-tree device plugins may prepend
+# themselves to the platform list and ignore the environment variable, so
+# a caller asking for cpu (the test suite, a CI lane) could silently get —
+# or block on — an accelerator backend instead
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from unsupervised_anomaly_detection_brain_mri_tpu.cli import main as cli_main
 from unsupervised_anomaly_detection_brain_mri_tpu.config import (
     EXPERIMENT_PRESETS,
