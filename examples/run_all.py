@@ -53,6 +53,15 @@ def compare_scoreboard(scoreboard: dict, expected: dict) -> list:
     that silently degrades quality turns the sweep red even though every
     preset still 'completes'.
     """
+    exp_backend = expected.get("backend")
+    got_backend = scoreboard.get("_backend")
+    if exp_backend and got_backend and exp_backend != got_backend:
+        # metric values are backend-dependent (accelerator default
+        # matmul/conv precision differs from CPU float32), so comparing
+        # across backends produces spurious "regressions"
+        return [f"backend mismatch: scoreboard ran on {got_backend!r} but "
+                f"the expected table was recorded on {exp_backend!r} — "
+                f"regenerate the table with --scoreboard on this backend"]
     tol = expected.get("tolerances", {})
     problems = []
     for name, exp_row in expected.get("presets", {}).items():
@@ -137,11 +146,18 @@ def main() -> int:
             with open(metrics_path) as f:
                 scoreboard[name] = [json.loads(line) for line in f
                                     if line.strip()]
-    if args.scoreboard:
-        import json
+        if collect:
+            import jax
 
-        with open(args.scoreboard, "w") as f:
-            json.dump(scoreboard, f, indent=2)
+            scoreboard["_backend"] = jax.default_backend()
+        if args.scoreboard:
+            import json
+
+            # flush after EVERY preset: a multi-hour sweep that dies
+            # mid-run still leaves the completed presets on disk
+            with open(args.scoreboard, "w") as f:
+                json.dump(scoreboard, f, indent=2)
+    if args.scoreboard:
         print(f"\nScoreboard written to {args.scoreboard}")
     if args.check:
         import json

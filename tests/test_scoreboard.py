@@ -67,6 +67,14 @@ def test_compare_scoreboard_flags_regressions():
     assert any("finalTrainLoss" in p
                for p in compare_scoreboard(loss_off, expected))
 
+    # cross-backend comparison is refused outright (metric values are
+    # backend-dependent), superseding any per-metric noise
+    exp_cpu = dict(expected, backend="cpu")
+    tpu_board = dict(good, _backend="tpu")
+    problems = compare_scoreboard(tpu_board, exp_cpu)
+    assert len(problems) == 1 and "backend mismatch" in problems[0]
+    assert compare_scoreboard(dict(good, _backend="cpu"), exp_cpu) == []
+
 
 def test_expected_table_is_complete():
     from unsupervised_anomaly_detection_brain_mri_tpu.config import (
@@ -93,6 +101,7 @@ def test_scoreboard_subset_matches_expected(tmp_path):
     from run_all import compare_scoreboard
 
     sub = {"tolerances": expected["tolerances"],
+           "backend": expected.get("backend"),
            "presets": {k: expected["presets"][k] for k in ("AE", "CE")}}
     problems = compare_scoreboard(sb, sub)
     assert problems == [], problems
