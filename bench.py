@@ -412,4 +412,11 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # pragma: no cover - fast-failure path
+        # the watchdogs cover HANGS; a fast failure (backend init raising,
+        # an unguarded measurement section throwing) must also leave the
+        # driver a headline line rather than a bare traceback
+        _emit_headline(f"exception: {type(e).__name__}: {str(e)[:160]}")
+        raise

@@ -43,6 +43,21 @@ from unsupervised_anomaly_detection_brain_mri_tpu.config import (
 METRIC_KEYS = ("AUROC", "AUPRC", "bestDice", "finalTrainLoss")
 
 
+def _comparable_settings(tokens) -> list:
+    """Drop machine-local flags (-c/--config PATH) from a settings list so
+    two runs of the same recipe compare equal across machines."""
+    out, skip = [], False
+    for tok in tokens:
+        if skip:
+            skip = False
+            continue
+        if tok in ("-c", "--config"):
+            skip = True
+            continue
+        out.append(str(tok))
+    return out
+
+
 def compare_scoreboard(scoreboard: dict, expected: dict) -> list:
     """Compare a scoreboard run against the committed expected table.
 
@@ -62,6 +77,17 @@ def compare_scoreboard(scoreboard: dict, expected: dict) -> list:
         return [f"backend mismatch: scoreboard ran on {got_backend!r} but "
                 f"the expected table was recorded on {exp_backend!r} — "
                 f"regenerate the table with --scoreboard on this backend"]
+    exp_settings = expected.get("settings")
+    got_settings = scoreboard.get("_settings")
+    if exp_settings and got_settings and (
+            sorted(_comparable_settings(exp_settings))
+            != sorted(_comparable_settings(got_settings))):
+        # metric values depend on the run recipe (epochs, image size,
+        # threshold, precision) — a check against a table recorded with
+        # different flags measures something else entirely
+        return [f"settings mismatch: scoreboard ran with {got_settings} "
+                f"but the expected table was recorded with {exp_settings} "
+                f"— pass the table's flags (or regenerate it)"]
     tol = expected.get("tolerances", {})
     problems = []
     for name, exp_row in expected.get("presets", {}).items():
@@ -150,6 +176,7 @@ def main() -> int:
             import jax
 
             scoreboard["_backend"] = jax.default_backend()
+            scoreboard["_settings"] = list(passthrough)
         if args.scoreboard:
             import json
 
@@ -164,6 +191,12 @@ def main() -> int:
 
         with open(args.check) as f:
             expected = json.load(f)
+        if args.presets:
+            # a subset run (--presets) is only checked against the rows it
+            # actually ran — unran presets are not "failures"
+            expected = dict(expected, presets={
+                k: v for k, v in expected.get("presets", {}).items()
+                if k in presets})
         problems = compare_scoreboard(scoreboard, expected)
         if problems:
             print("\nQUALITY REGRESSIONS:")

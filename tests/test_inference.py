@@ -1,6 +1,7 @@
 """Serving API test: workdir round trip -> volume inference."""
 
 import json
+import os
 import shutil
 import tempfile
 
@@ -201,6 +202,37 @@ def test_infer_cli_threshold_override_and_no_export(workdir_copy,
     assert "anomalous_voxels" not in report2
     assert (outdir2 / "s.anomaly.nii.gz").exists()
     assert not (outdir2 / "s.anomaly.binary.nii.gz").exists()
+
+
+def test_infer_cli_same_basename_inputs_do_not_collide(workdir_copy,
+                                                       synth_lesion_dataset,
+                                                       tmp_path):
+    """Two --input scans with the same basename (different directories)
+    must each get their own report/exports, not silently overwrite."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.cli import main
+    from unsupervised_anomaly_detection_brain_mri_tpu.data.formats import (
+        write_nifti,
+    )
+
+    wd = workdir_copy
+    patients = synth_lesion_dataset.patients_of("TEST")[:2]
+    scans = []
+    for site, patient in zip(("siteA", "siteB"), patients):
+        vol, _, _, _ = synth_lesion_dataset.load_volume_and_groundtruth(
+            patient)
+        d = tmp_path / site
+        d.mkdir()
+        scan = d / "scan.nii.gz"
+        write_nifti(str(scan), vol.astype(np.float32))
+        scans.append(str(scan))
+
+    outdir = tmp_path / "out"
+    assert main(["infer", "--workdir", wd, "-i", scans[0], "-i", scans[1],
+                 "-O", "0.5", "-o", str(outdir), "--no-export"]) == 0
+    r1 = json.loads((outdir / "scan.report.json").read_text())
+    r2 = json.loads((outdir / "scan_2.report.json").read_text())
+    assert r1["input"] == os.path.abspath(scans[0])
+    assert r2["input"] == os.path.abspath(scans[1])
 
 
 def test_detect_honors_calibrated_mc_sampling(workdir_copy,

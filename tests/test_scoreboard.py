@@ -75,6 +75,17 @@ def test_compare_scoreboard_flags_regressions():
     assert len(problems) == 1 and "backend mismatch" in problems[0]
     assert compare_scoreboard(dict(good, _backend="cpu"), exp_cpu) == []
 
+    # a run with different recipe flags is refused too — the table's
+    # metrics measure a different configuration entirely
+    exp_set = dict(expected, settings=["--synthetic", "-E", "1", "-w", "32"])
+    wrong = dict(good, _settings=["--synthetic", "-E", "4", "-w", "32"])
+    problems = compare_scoreboard(wrong, exp_set)
+    assert len(problems) == 1 and "settings mismatch" in problems[0]
+    # ...but machine-local -c/--config paths and flag ORDER are ignored
+    same = dict(good, _settings=["-w", "32", "-c", "/tmp/x/paths.json",
+                                 "--synthetic", "-E", "1"])
+    assert compare_scoreboard(same, exp_set) == []
+
 
 def test_expected_table_is_complete():
     from unsupervised_anomaly_detection_brain_mri_tpu.config import (

@@ -26,17 +26,13 @@ from unsupervised_anomaly_detection_brain_mri_tpu.utils.misc import (
     enable_persistent_compilation_cache,
 )
 
+import os as _os
+import sys as _sys
 
-def make_args(B, H, Cin, Cout, dtype):
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(B, H, H, Cin)).astype(np.float32)).astype(dtype)
-    Wt = jnp.asarray(rng.normal(0, 0.2, (5, 5, Cin, Cout)).astype(np.float32))
-    bt = jnp.asarray(rng.normal(0, 0.1, (Cout,)).astype(np.float32))
-    gamma = jnp.asarray(rng.uniform(0.5, 1.5, (Cout,)).astype(np.float32))
-    beta = jnp.asarray(rng.normal(0, 0.1, (Cout,)).astype(np.float32))
-    Wh = jnp.asarray(rng.normal(0, 0.3, (Cout, 1)).astype(np.float32))
-    bh = jnp.asarray(rng.normal(0, 0.1, (1,)).astype(np.float32))
-    return x, Wt, bt, gamma, beta, Wh, bh
+_sys.path.insert(0, _os.path.dirname(_os.path.abspath(__file__)))
+from _fused_decoder_common import make_args  # noqa: E402
+
+
 
 
 def scan_stepper(stage, n_steps, fwd_only=False):

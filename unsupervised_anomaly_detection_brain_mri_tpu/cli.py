@@ -17,6 +17,7 @@ the nonexistent ``Dataset.Brainweb`` enum member on its full-eval path).
 from __future__ import annotations
 
 import argparse
+import math
 import os
 import sys
 from typing import List, Optional
@@ -319,6 +320,16 @@ def infer_main(argv: Optional[List[str]] = None) -> int:
                 return name[: -len(ext)]
         return os.path.splitext(name)[0]
 
+    # de-duplicate output stems: two inputs with the same basename
+    # (e.g. /siteA/scan.nii.gz and /siteB/scan.nii.gz) must not silently
+    # overwrite each other's reports/exports
+    stems, _seen = [], {}
+    for path in args.input:
+        s = scan_stem(path)
+        n = _seen.get(s, 0)
+        _seen[s] = n + 1
+        stems.append(s if n == 0 else f"{s}_{n + 1}")
+
     rc = 0
     for idx, path in enumerate(args.input):
         nii = open_volume(path)
@@ -331,7 +342,7 @@ def infer_main(argv: Optional[List[str]] = None) -> int:
                              bnii.view_mapping["axial"], 2)
         res = det.detect(vol, brainmask=bm)
 
-        stem = scan_stem(path)
+        stem = stems[idx]
         outdir = args.output_dir or os.path.join(
             args.workdir, "inference", stem)
         os.makedirs(outdir, exist_ok=True)
@@ -507,9 +518,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.metrics_out and metric_rows:
             import json as _json
 
+            def _jsonable(v):
+                # json.dumps would emit bare NaN/Infinity — invalid
+                # RFC-8259 JSON that strict consumers (jq, JS) reject;
+                # None carries the same "missing/bad" signal downstream
+                if isinstance(v, float) and not math.isfinite(v):
+                    return None
+                return v
+
             with open(args.metrics_out, "w") as f:
                 for row in metric_rows:
-                    f.write(_json.dumps(row) + "\n")
+                    f.write(_json.dumps(
+                        {k: _jsonable(v) for k, v in row.items()}) + "\n")
 
     eval_kinds: List[Dataset]
     if args.synthetic:
