@@ -43,19 +43,35 @@ from unsupervised_anomaly_detection_brain_mri_tpu.config import (
 METRIC_KEYS = ("AUROC", "AUPRC", "bestDice", "finalTrainLoss")
 
 
-def _comparable_settings(tokens) -> list:
-    """Drop machine-local flags (-c/--config PATH) from a settings list so
-    two runs of the same recipe compare equal across machines."""
-    out, skip = [], False
-    for tok in tokens:
-        if skip:
-            skip = False
-            continue
-        if tok in ("-c", "--config"):
-            skip = True
-            continue
-        out.append(str(tok))
-    return out
+def _comparable_settings(tokens) -> dict:
+    """Canonicalize a recipe-flag list to a {flag: values} map.
+
+    Order-independent but pairing-preserving (so ``-E 1 -w 32`` never
+    equals ``-E 32 -w 1``); machine-local config paths are dropped in all
+    argparse spellings (``-c PATH``, ``-cPATH``, ``--config PATH``,
+    ``--config=PATH``).
+    """
+    pairs, flag, skip_value = {}, None, False
+    for tok in (str(t) for t in tokens):
+        if tok.startswith("-") and not tok[1:2].isdigit():
+            base = tok.split("=", 1)[0]
+            if base == "--config" or base == "-c" or (
+                    tok.startswith("-c") and not tok.startswith("--")
+                    and len(tok) > 2):
+                flag, skip_value = None, ("=" not in tok and tok in
+                                          ("-c", "--config"))
+                continue
+            flag, skip_value = base, False
+            entry = pairs.setdefault(flag, [])
+            if "=" in tok:
+                entry.append(tok.split("=", 1)[1])
+        elif skip_value:
+            skip_value = False
+        elif flag is not None:
+            pairs[flag].append(tok)
+        else:  # positional with no preceding flag
+            pairs.setdefault("", []).append(tok)
+    return pairs
 
 
 def compare_scoreboard(scoreboard: dict, expected: dict) -> list:
@@ -79,9 +95,9 @@ def compare_scoreboard(scoreboard: dict, expected: dict) -> list:
                 f"regenerate the table with --scoreboard on this backend"]
     exp_settings = expected.get("settings")
     got_settings = scoreboard.get("_settings")
-    if exp_settings and got_settings and (
-            sorted(_comparable_settings(exp_settings))
-            != sorted(_comparable_settings(got_settings))):
+    if exp_settings and got_settings is not None and (
+            _comparable_settings(exp_settings)
+            != _comparable_settings(got_settings)):
         # metric values depend on the run recipe (epochs, image size,
         # threshold, precision) — a check against a table recorded with
         # different flags measures something else entirely
@@ -147,6 +163,11 @@ def main() -> int:
                else list(EXPERIMENT_PRESETS))
     collect = bool(args.scoreboard or args.check)
     scoreboard: dict = {}
+    if collect:
+        import jax
+
+        scoreboard["_backend"] = jax.default_backend()
+        scoreboard["_settings"] = list(passthrough)
     failed = []
     for name in presets:
         print(f"\n===== {name} =====")
@@ -172,11 +193,6 @@ def main() -> int:
             with open(metrics_path) as f:
                 scoreboard[name] = [json.loads(line) for line in f
                                     if line.strip()]
-        if collect:
-            import jax
-
-            scoreboard["_backend"] = jax.default_backend()
-            scoreboard["_settings"] = list(passthrough)
         if args.scoreboard:
             import json
 

@@ -81,10 +81,28 @@ def test_compare_scoreboard_flags_regressions():
     wrong = dict(good, _settings=["--synthetic", "-E", "4", "-w", "32"])
     problems = compare_scoreboard(wrong, exp_set)
     assert len(problems) == 1 and "settings mismatch" in problems[0]
-    # ...but machine-local -c/--config paths and flag ORDER are ignored
-    same = dict(good, _settings=["-w", "32", "-c", "/tmp/x/paths.json",
-                                 "--synthetic", "-E", "1"])
-    assert compare_scoreboard(same, exp_set) == []
+    # flag→value PAIRING matters: swapped values are a different recipe
+    swapped = dict(good, _settings=["--synthetic", "-E", "32", "-w", "1"])
+    assert any("settings mismatch" in p
+               for p in compare_scoreboard(swapped, exp_set))
+    # a flag-less run ([] is stamped whenever metrics are collected) does
+    # not silently pass against a non-empty recipe
+    bare = dict(good, _settings=[])
+    assert any("settings mismatch" in p
+               for p in compare_scoreboard(bare, exp_set))
+    # ...but machine-local -c/--config paths (any argparse spelling) and
+    # flag ORDER are ignored
+    for cfg_spelling in (["-c", "/tmp/x/paths.json"],
+                         ["--config", "/tmp/x/paths.json"],
+                         ["--config=/tmp/x/paths.json"],
+                         ["-c/tmp/x/paths.json"]):
+        same = dict(good, _settings=["-w", "32", *cfg_spelling,
+                                     "--synthetic", "-E", "1"])
+        assert compare_scoreboard(same, exp_set) == [], cfg_spelling
+    # negative numeric values bind to their flag, not parsed as flags
+    from run_all import _comparable_settings
+    assert (_comparable_settings(["--tv-lambda", "-1", "-E", "1"])
+            == {"--tv-lambda": ["-1"], "-E": ["1"]})
 
 
 def test_expected_table_is_complete():

@@ -7,7 +7,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from unsupervised_anomaly_detection_brain_mri_tpu.ops.decoder_stage import (
     decoder_stage_reference,

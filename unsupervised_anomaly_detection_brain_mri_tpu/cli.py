@@ -32,6 +32,23 @@ from unsupervised_anomaly_detection_brain_mri_tpu.config import (
 )
 
 
+def _json_sanitize(obj):
+    """Replace non-finite floats with None, recursively.
+
+    ``json.dumps`` would emit bare ``NaN``/``Infinity`` — invalid RFC-8259
+    JSON that strict consumers (jq, JS) reject; ``None`` carries the same
+    "missing/bad" signal downstream.  Applied to every JSON artifact the
+    CLI writes (metrics JSONL, infer reports).
+    """
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return None
+    if isinstance(obj, dict):
+        return {k: _json_sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_sanitize(v) for v in obj]
+    return obj
+
+
 def build_dataset(options: Options, config: Config, dataset: Dataset,
                   split_role: str):
     """get_datasets parity (`utils/default_config_setup.py:60-72`):
@@ -323,12 +340,20 @@ def infer_main(argv: Optional[List[str]] = None) -> int:
     # de-duplicate output stems: two inputs with the same basename
     # (e.g. /siteA/scan.nii.gz and /siteB/scan.nii.gz) must not silently
     # overwrite each other's reports/exports
-    stems, _seen = [], {}
-    for path in args.input:
-        s = scan_stem(path)
-        n = _seen.get(s, 0)
-        _seen[s] = n + 1
-        stems.append(s if n == 0 else f"{s}_{n + 1}")
+    all_stems = [scan_stem(p) for p in args.input]
+    stems, taken = [], set(all_stems)
+    used = set()
+    for s in all_stems:
+        out = s
+        n = 2
+        # bump until unused among BOTH already-assigned names and every
+        # literal input stem (so a generated "scan_2" cannot collide with
+        # an actual scan_2.nii.gz later in the list)
+        while out in used or (out != s and out in taken):
+            out = f"{s}_{n}"
+            n += 1
+        used.add(out)
+        stems.append(out)
 
     rc = 0
     for idx, path in enumerate(args.input):
@@ -378,7 +403,7 @@ def infer_main(argv: Optional[List[str]] = None) -> int:
                 res["epistemic_variance"].max())
         report_path = os.path.join(outdir, f"{stem}.report.json")
         with open(report_path, "w") as f:
-            json.dump(report, f, indent=2)
+            json.dump(_json_sanitize(report), f, indent=2)
 
         summary = f"{path}: peak slice score {max(report['slice_scores']):.4f}"
         if "anomalous_voxels" in report:
@@ -518,18 +543,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.metrics_out and metric_rows:
             import json as _json
 
-            def _jsonable(v):
-                # json.dumps would emit bare NaN/Infinity — invalid
-                # RFC-8259 JSON that strict consumers (jq, JS) reject;
-                # None carries the same "missing/bad" signal downstream
-                if isinstance(v, float) and not math.isfinite(v):
-                    return None
-                return v
-
             with open(args.metrics_out, "w") as f:
                 for row in metric_rows:
-                    f.write(_json.dumps(
-                        {k: _jsonable(v) for k, v in row.items()}) + "\n")
+                    f.write(_json.dumps(_json_sanitize(row)) + "\n")
 
     eval_kinds: List[Dataset]
     if args.synthetic:
