@@ -226,3 +226,21 @@ def test_connected_components_iteration_cap_honesty():
     # default call signature unchanged
     labels3 = connected_components_3d(jnp.asarray(mask))
     np.testing.assert_array_equal(np.asarray(labels3), labels2)
+
+
+@pytest.mark.slow
+def test_sorted_sweep_exact_past_float32_saturation():
+    """tps/fps are exact int32 counts: a float32 cumsum saturates at 2^24
+    (16777216.0f + 1.0f == 16777216.0f), silently corrupting AUC/AP/FPR on
+    cohorts beyond ~16.7M voxels — e.g. 3875 slices at 128^2 is 63M."""
+    n = (1 << 24) + 100_000
+    rng = np.random.default_rng(0)
+    scores = rng.random(n, dtype=np.float32)
+    labels = (rng.random(n) < 0.3).astype(np.float32)
+
+    s, tps, fps, d = M._sorted_counts(jnp.asarray(scores),
+                                      jnp.asarray(labels))
+    assert int(tps[-1]) == int(labels.sum())       # not 16777216-capped
+    assert int(fps[-1]) == n - int(labels.sum())
+    auc = float(M.roc_auc(jnp.asarray(scores), jnp.asarray(labels)))
+    assert abs(auc - 0.5) < 1e-3  # independent scores/labels

@@ -17,11 +17,13 @@ the nonexistent ``Dataset.Brainweb`` enum member on its full-eval path).
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import sys
 from typing import List, Optional
 
+from unsupervised_anomaly_detection_brain_mri_tpu.utils.misc import (
+    json_sanitize,
+)
 from unsupervised_anomaly_detection_brain_mri_tpu.config import (
     Config,
     DATASET_PARTITIONS,
@@ -30,23 +32,6 @@ from unsupervised_anomaly_detection_brain_mri_tpu.config import (
     Options,
     PathConfig,
 )
-
-
-def _json_sanitize(obj):
-    """Replace non-finite floats with None, recursively.
-
-    ``json.dumps`` would emit bare ``NaN``/``Infinity`` — invalid RFC-8259
-    JSON that strict consumers (jq, JS) reject; ``None`` carries the same
-    "missing/bad" signal downstream.  Applied to every JSON artifact the
-    CLI writes (metrics JSONL, infer reports).
-    """
-    if isinstance(obj, float) and not math.isfinite(obj):
-        return None
-    if isinstance(obj, dict):
-        return {k: _json_sanitize(v) for k, v in obj.items()}
-    if isinstance(obj, (list, tuple)):
-        return [_json_sanitize(v) for v in obj]
-    return obj
 
 
 def build_dataset(options: Options, config: Config, dataset: Dataset,
@@ -403,7 +388,7 @@ def infer_main(argv: Optional[List[str]] = None) -> int:
                 res["epistemic_variance"].max())
         report_path = os.path.join(outdir, f"{stem}.report.json")
         with open(report_path, "w") as f:
-            json.dump(_json_sanitize(report), f, indent=2)
+            json.dump(json_sanitize(report), f, indent=2)
 
         summary = f"{path}: peak slice score {max(report['slice_scores']):.4f}"
         if "anomalous_voxels" in report:
@@ -545,7 +530,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
             with open(args.metrics_out, "w") as f:
                 for row in metric_rows:
-                    f.write(_json.dumps(_json_sanitize(row)) + "\n")
+                    f.write(_json.dumps(json_sanitize(row)) + "\n")
 
     eval_kinds: List[Dataset]
     if args.synthetic:

@@ -33,6 +33,9 @@ from scipy import ndimage as ndi
 from unsupervised_anomaly_detection_brain_mri_tpu.config import Config, Options
 from unsupervised_anomaly_detection_brain_mri_tpu.ops import metrics as M
 from unsupervised_anomaly_detection_brain_mri_tpu.ops import postprocess as P
+from unsupervised_anomaly_detection_brain_mri_tpu.utils.misc import (
+    json_sanitize,
+)
 
 
 def _zoom_volume(vol: np.ndarray, target: Tuple[int, int],
@@ -545,21 +548,29 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
             "connected-component labeling hit its iteration cap before "
             "the fixpoint; CC-filtered masks and detection counts may "
             "treat one snake-shaped component as several", RuntimeWarning)
+    # NaN entries (0/0: an empty prediction makes precision NaN; a patient
+    # with no GT lesion in the slice range makes recall AND dice NaN) are
+    # excluded from every aggregate — one such patient must not turn the
+    # whole run's mean/std into NaN
+    _finite_dice = [v for v in per_dice if np.isfinite(v)]
     _finite_prec = [p for p in per_prec if np.isfinite(p)]
+    _finite_rec = [r for r in per_rec if np.isfinite(r)]
     eval_pc.update(
         DiceScorePerPatient=per_dice,
-        DiceScorePerPatientMean=float(np.mean(per_dice)) if per_dice else 0.0,
-        DiceScorePerPatientStd=float(np.std(per_dice)) if per_dice else 0.0,
+        DiceScorePerPatientMean=(float(np.mean(_finite_dice))
+                                 if _finite_dice else 0.0),
+        DiceScorePerPatientStd=(float(np.std(_finite_dice))
+                                if _finite_dice else 0.0),
         PrecisionPerPatient=per_prec,
-        # NaN precisions (0/0: patient with an empty prediction) are
-        # excluded from the aggregate instead of warning through nanmean
         PrecisionPerPatientMean=(float(np.mean(_finite_prec))
                                  if _finite_prec else 0.0),
         PrecisionPerPatientStd=(float(np.std(_finite_prec))
                                 if _finite_prec else 0.0),
         RecallPerPatient=per_rec,
-        RecallPerPatientMean=float(np.mean(per_rec)) if per_rec else 0.0,
-        RecallPerPatientStd=float(np.std(per_rec)) if per_rec else 0.0,
+        RecallPerPatientMean=(float(np.mean(_finite_rec))
+                              if _finite_rec else 0.0),
+        RecallPerPatientStd=(float(np.std(_finite_rec))
+                             if _finite_rec else 0.0),
         TPCC=tpcc, FPCC=fpcc, FNCC=fncc,
     )
     tp, fp = int(stats["TP"]), int(stats["FP"])
@@ -612,8 +623,9 @@ def evaluate(dataset, trainer, state, options: Options, config: Config,
     with open(os.path.join(eval_dir, "evalPC.txt"), "w") as f:
         f.write(str(export))
     with open(os.path.join(eval_dir, "evalPC.json"), "w") as f:
-        json.dump({k: v for k, v in export.items()
-                   if isinstance(v, (int, float, str, list))}, f, indent=2)
+        json.dump(json_sanitize({k: v for k, v in export.items()
+                                 if isinstance(v, (int, float, str, list))}),
+                  f, indent=2)
     eval_pc["eval_dir"] = eval_dir
     return eval_pc
 
@@ -633,8 +645,13 @@ def determine_threshold_on_labeled_patients(
     sample_dir = os.path.join(eval_dir, "samples_val_PC")
     from unsupervised_anomaly_detection_brain_mri_tpu.eval import artifacts
 
-    for ds in datasets:
-        ed, _ = _evaluate(ds, trainer, state, sample_dir, options, config,
+    for ds_idx, ds in enumerate(datasets):
+        # one artifact dir per dataset: _evaluate's per-slice names restart
+        # per call, so two VAL datasets writing into ONE dir would silently
+        # overwrite each other's PNGs
+        ds_sample_dir = (sample_dir if len(datasets) == 1 else os.path.join(
+            sample_dir, f"ds{ds_idx}_{type(ds).__name__}"))
+        ed, _ = _evaluate(ds, trainer, state, ds_sample_dir, options, config,
                           split="VAL")
         if ed["diffs"] is not None and len(ed["diffs"]):
             all_diffs.append(ed["diffs"])  # device-resident
@@ -647,12 +664,20 @@ def determine_threshold_on_labeled_patients(
                 ep = ed.get("combined_variance",
                             ed.get("epistemic_variance"))
                 artifacts.export_slice_images(
-                    sample_dir, ed["x"], np.asarray(ed["reconstructions"]),
+                    ds_sample_dir, ed["x"],
+                    np.asarray(ed["reconstructions"]),
                     d_np, ed["labelmaps"], np.zeros_like(d_np),
                     epistemic=np.asarray(ep) if ep is not None else None,
                     raw_diffs=ed.get("raw_diffs"),
                     log_vars=ed.get("log_vars"),
                     names=ed.get("slice_names"))
+    if not all_diffs:
+        raise ValueError(
+            "threshold fitting found no evaluable VAL volumes in any "
+            "dataset — every VAL split is empty or every volume was "
+            "skipped by the shape-sanity check (slice range "
+            f"[{options.sliceStart}, {options.sliceEnd}) vs volume "
+            "extents); check the dataset partitions and slice options")
     diffs = jnp.concatenate(all_diffs)
     labels = jnp.asarray(np.concatenate(all_labels)) > 0.5
     best_dice, best_thresh = M.best_dice_threshold(

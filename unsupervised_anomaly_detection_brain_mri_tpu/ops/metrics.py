@@ -90,13 +90,19 @@ def _sorted_counts(scores: Array, labels: Array):
     """Sort desc (labels co-sorted in the same `lax.sort` — no argsort +
     random gather); cumulative tp/fp; distinct-score group-end mask.  Tie
     groups may internally reorder (unstable sort): every consumer only
-    reads group-aggregate values, which are permutation-invariant."""
+    reads group-aggregate values, which are permutation-invariant.
+
+    tps/fps are EXACT int32 cumulative counts: a float32 cumsum silently
+    saturates past 2^24 elements (16777216.0f + 1.0f == 16777216.0f),
+    which would corrupt AUC/AP/FPR on cohorts beyond ~16.7M voxels (a
+    1000-slice TEST cohort at 256² already exceeds it).  Consumers cast
+    to float only for final ratios, after exact integer differences."""
     scores = scores.ravel().astype(jnp.float32)
-    labels = labels.ravel().astype(jnp.float32)
-    neg, l = jax.lax.sort((-scores, labels), num_keys=1)
+    labels_i = (labels.ravel() > 0).astype(jnp.int32)
+    neg, li = jax.lax.sort((-scores, labels_i), num_keys=1)
     s = -neg
-    tps = jnp.cumsum(l)
-    fps = jnp.cumsum(1.0 - l)
+    tps = jnp.cumsum(li)
+    fps = jnp.cumsum(1 - li)
     distinct = jnp.concatenate(
         [s[:-1] != s[1:], jnp.ones((1,), bool)])
     return s, tps, fps, distinct
@@ -109,32 +115,37 @@ def _prev_group_values(values: Array, distinct: Array) -> Array:
     Requires ``values`` monotone NON-DECREASING along the sorted order
     (true of tps/fps/tpr/fpr): the most recent preceding group-end value is
     then a shifted cummax over values masked to -1 off group ends — pure
-    scan, no random gather."""
-    masked = jnp.where(distinct, values, -1.0)
+    scan, no random gather.  Dtype-generic (exact on int32 counts)."""
+    neg_one = jnp.asarray(-1, values.dtype)
+    masked = jnp.where(distinct, values, neg_one)
     ends_before = jnp.concatenate(
-        [jnp.full((1,), -1.0, values.dtype),
+        [jnp.full((1,), -1, values.dtype),
          jax.lax.cummax(masked)[:-1]])
-    return jnp.where(ends_before < 0, 0.0, ends_before)
+    return jnp.where(ends_before < 0, jnp.zeros((), values.dtype),
+                     ends_before)
 
 
 def _roc_auc_from_counts(s, tps, fps, distinct) -> Array:
-    P = tps[-1]
-    N = fps[-1]
-    tpr_v = tps / P
-    fpr_v = fps / N
-    tpr_prev = _prev_group_values(tpr_v, distinct)
-    fpr_prev = _prev_group_values(fpr_v, distinct)
-    seg = jnp.where(distinct,
-                    (fpr_v - fpr_prev) * (tpr_v + tpr_prev) * 0.5, 0.0)
-    return jnp.sum(seg)
+    # trapezoid segments from EXACT integer differences/sums (cancellation
+    # between large nearby float ratios would otherwise dominate), one
+    # float rounding per factor at the end
+    tps_prev = _prev_group_values(tps, distinct)
+    fps_prev = _prev_group_values(fps, distinct)
+    seg = jnp.where(
+        distinct,
+        (fps - fps_prev).astype(jnp.float32)
+        * (tps + tps_prev).astype(jnp.float32), 0.0)
+    denom = tps[-1].astype(jnp.float32) * fps[-1].astype(jnp.float32)
+    return jnp.sum(seg) * 0.5 / denom
 
 
 def _average_precision_from_counts(s, tps, fps, distinct) -> Array:
-    P = tps[-1]
-    prec = tps / jnp.maximum(tps + fps, 1.0)
+    prec = tps.astype(jnp.float32) / jnp.maximum(tps + fps, 1).astype(
+        jnp.float32)
     tps_prev = _prev_group_values(tps, distinct)
-    seg = jnp.where(distinct, (tps - tps_prev) / P * prec, 0.0)
-    return jnp.sum(seg)
+    seg = jnp.where(distinct,
+                    (tps - tps_prev).astype(jnp.float32) * prec, 0.0)
+    return jnp.sum(seg) / tps[-1].astype(jnp.float32)
 
 
 def _precision_at_threshold_from_counts(s, tps, fps, distinct,
@@ -154,7 +165,8 @@ def _precision_at_threshold_from_counts(s, tps, fps, distinct,
     """
     P = tps[-1]
     n = s.shape[0]
-    prec = tps / jnp.maximum(tps + fps, 1.0)
+    prec = tps.astype(jnp.float32) / jnp.maximum(tps + fps, 1).astype(
+        jnp.float32)
     full = distinct & (tps >= P)
     last_pos = jnp.argmax(full)  # first distinct position with full recall
     included = distinct & (jnp.arange(n) <= last_pos)
@@ -190,7 +202,10 @@ def anomaly_curve_summary(scores: Array, labels: Array,
     P = tps[-1]
     n = s.shape[0]
 
-    dice_v = jnp.where(distinct, 2.0 * tps / (tps + fps + P), -1.0)
+    dice_v = jnp.where(
+        distinct,
+        (2 * tps).astype(jnp.float32) / (tps + fps + P).astype(jnp.float32),
+        -1.0)
     i = jnp.argmax(dice_v)
     nxt = jnp.where(i + 1 < n, s[jnp.minimum(i + 1, n - 1)], 0.0)
 
@@ -249,7 +264,8 @@ def best_dice_threshold(scores: Array, labels: Array) -> Tuple[Array, Array]:
     """
     s, tps, fps, distinct = _sorted_counts(scores, labels)
     P = tps[-1]
-    dice_v = 2.0 * tps / (tps + fps + P)
+    dice_v = (2 * tps).astype(jnp.float32) / (tps + fps + P).astype(
+        jnp.float32)
     dice_v = jnp.where(distinct, dice_v, -1.0)
     i = jnp.argmax(dice_v)
     best = dice_v[i]

@@ -128,7 +128,11 @@ class BaseTrainer:
                     return_inputs: bool = False):
         dropout = train if dropout is None else dropout
         in_rng, call_rng = jax.random.split(rng)
-        batch = self.maybe_add_instance_noise(batch, in_rng, train)
+        # instance noise draws from its own folded key: sharing in_rng with
+        # model_inputs (context masks, prior z) would correlate the noise
+        # field with the mask/prior geometry every step
+        noise_rng = jax.random.fold_in(in_rng, 1)
+        batch = self.maybe_add_instance_noise(batch, noise_rng, train)
         args, kwargs = self.model_inputs(batch, in_rng, train)
         variables = {"params": params}
         if batch_stats:
@@ -243,26 +247,34 @@ class BaseTrainer:
             params=params, batch_stats=batch_stats, opt_states=opt_states,
             rng=state_rng, epoch=jnp.asarray(0, jnp.int32),
             step=jnp.asarray(0, jnp.int32))
-        if self.mesh is not None:
-            from unsupervised_anomaly_detection_brain_mri_tpu.parallel.sharding import (
-                shard_like_params,
-                shard_params,
-            )
-
-            if self.mesh.n_model > 1:
-                state = state.replace(
-                    params=shard_params(self.mesh, state.params),
-                    batch_stats=self.mesh.replicate(state.batch_stats),
-                    opt_states=shard_like_params(
-                        self.mesh, state.params, state.opt_states),
-                    rng=self.mesh.replicate(state.rng),
-                    epoch=self.mesh.replicate(state.epoch),
-                    step=self.mesh.replicate(state.step))
-            else:
-                state = self.mesh.replicate(state)
+        state = self._apply_mesh_layout(state)
         print(f"[{self.__class__.__name__}] {self.config.model}: "
               f"{count_params(params):,} parameters")
         return state
+
+    def _apply_mesh_layout(self, state: TrainState) -> TrainState:
+        """Commit a host/single-device state to the mesh's layout (param
+        sharding under tensor parallelism, replication otherwise).  Applied
+        by ``init_state`` AND ``load_checkpoint`` — a restored state must
+        land in the same layout the train step was compiled for, not on the
+        default device."""
+        if self.mesh is None:
+            return state
+        from unsupervised_anomaly_detection_brain_mri_tpu.parallel.sharding import (
+            shard_like_params,
+            shard_params,
+        )
+
+        if self.mesh.n_model > 1:
+            return state.replace(
+                params=shard_params(self.mesh, state.params),
+                batch_stats=self.mesh.replicate(state.batch_stats),
+                opt_states=shard_like_params(
+                    self.mesh, state.params, state.opt_states),
+                rng=self.mesh.replicate(state.rng),
+                epoch=self.mesh.replicate(state.epoch),
+                step=self.mesh.replicate(state.step))
+        return self.mesh.replicate(state)
 
     # ------------------------------------------------------------------
     # fit loop
@@ -299,13 +311,23 @@ class BaseTrainer:
                 if os.path.isfile(curves):
                     with open(curves) as f:
                         self.history = json.load(f)
+                already_stopped = False
                 for h in self.history:
                     if (h.get("phase") == "VAL"
                             and h.get("epoch", 1 << 30) < start_epoch):
-                        best_cost, last_improvement, _ = early_stopping_update(
+                        (best_cost, last_improvement,
+                         stop) = early_stopping_update(
                             h.get(self.early_stop_metric, float("inf")),
                             best_cost, last_improvement,
                             c.earlyStoppingPatience)
+                        already_stopped = already_stopped or stop
+                if already_stopped:
+                    # the interrupted run had ALREADY early-stopped: resume
+                    # must recognize the stop, not train extra epochs past it
+                    print(f"[{self.config.trainer}] resume: early stopping "
+                          f"already triggered at epoch {start_epoch - 1}; "
+                          "nothing left to train")
+                    return state
 
         train_pool = self._pool_from_dataset(dataset, "TRAIN")
         val_pool = self._pool_from_dataset(dataset, "VAL")
@@ -488,6 +510,7 @@ class BaseTrainer:
             rng=jax.random.wrap_key_data(jnp.asarray(restored["rng"])),
             step=jnp.asarray(restored["step"], jnp.int32),
             epoch=jnp.asarray(step, jnp.int32))
+        state = self._apply_mesh_layout(state)
         print(f"Restored checkpoint at epoch {step}")
         return state, int(step)
 

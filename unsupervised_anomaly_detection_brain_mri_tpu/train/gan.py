@@ -177,9 +177,20 @@ class AAE(AdversarialTrainerBase):
             opt_states = dict(state.opt_states)
             rng = state.rng
 
-            # ---- AE updates (x ae_iters)
+            # ---- AE updates (x ae_iters); the LAST iteration's losses ride
+            # out of the loop as metrics (like disc_body's dl) — a separate
+            # metrics forward would cost a full extra model apply per batch
+            # and report a draw no update actually used
+            def _ae_losses_shape(p, b, sub):
+                outputs, _ = self._forward(p, b, sub, batch, None)
+                return self.ae_loss(outputs, batch)
+
+            zero_losses = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype),
+                jax.eval_shape(_ae_losses_shape, params, bs, rng))
+
             def ae_body(_, carry):
-                params, bs, opt_ae, rng = carry
+                params, bs, opt_ae, rng, _prev = carry
                 rng, sub = jax.random.split(rng)
 
                 def loss_fn(p):
@@ -191,16 +202,13 @@ class AAE(AdversarialTrainerBase):
                     loss_fn, has_aux=True)(params)
                 updates, opt_ae = opts["ae"].update(grads, opt_ae, params)
                 return (optax.apply_updates(params, updates), new_bs,
-                        opt_ae, rng)
+                        opt_ae, rng, losses)
 
-            params, bs, opt_states["ae"], rng = jax.lax.fori_loop(
+            (params, bs, opt_states["ae"], rng,
+             ae_losses) = jax.lax.fori_loop(
                 0, ae_iters, ae_body,
-                (params, bs, opt_states["ae"], rng))
-
-            # metrics from a clean forward after the AE updates
-            rng, msub = jax.random.split(rng)
-            outputs, _ = self._forward(params, bs, msub, batch, None)
-            metrics = {k: v for k, v in self.ae_loss(outputs, batch).items()}
+                (params, bs, opt_states["ae"], rng, zero_losses))
+            metrics = dict(ae_losses)
 
             # ---- critic updates (x d_iters)
             def disc_body(_, carry):

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime
+import math
 import os
 from typing import Optional
 
@@ -51,3 +52,20 @@ def apply_colormap(img: np.ndarray, cmap=None) -> np.ndarray:
         cmap = plt.cm.jet
     rgba = cmap(normalize(np.squeeze(img)))
     return (rgba[..., :3] * 255).astype(np.uint8)
+
+
+def json_sanitize(obj):
+    """Replace non-finite floats with None, recursively.
+
+    ``json.dumps`` emits bare ``NaN``/``Infinity`` — invalid RFC-8259 JSON
+    that strict consumers (jq, JS) reject; ``None`` carries the same
+    "missing/bad" signal.  Used by every JSON artifact writer (evalPC.json,
+    infer reports, metrics JSONL).
+    """
+    if isinstance(obj, float) and not math.isfinite(obj):
+        return None
+    if isinstance(obj, dict):
+        return {k: json_sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [json_sanitize(v) for v in obj]
+    return obj
