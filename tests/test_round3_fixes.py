@@ -279,3 +279,66 @@ def test_logvar_png_export(tmp_path):
                                   names=["0_20", "0_21"])
     assert os.path.exists(os.path.join(d, "0_20_logvar.png"))
     assert os.path.exists(os.path.join(d, "0_21_logvar.png"))
+
+
+def test_resume_after_early_stop_trains_no_further(synth_dataset, tmp_path):
+    """A run whose replayed VAL history has ALREADY triggered early
+    stopping must be recognized on resume — fit(resume=True) returns the
+    restored state instead of training extra epochs past the stop."""
+    import json
+
+    cfg = Config(trainer="AE", model="autoencoder", batchsize=8,
+                 outputWidth=32, outputHeight=32, zDim=16, numEpochs=10,
+                 compute_dtype="float32", earlyStoppingPatience=1)
+    wd = str(tmp_path / "wd")
+    tr = get_trainer("AE")(cfg, workdir=wd)
+    state = tr.fit(synth_dataset)
+    trained_epoch = int(np.asarray(state.epoch).ravel()[0])
+    assert trained_epoch == cfg.numEpochs
+
+    # synthesize the early-stopped run: non-improving VAL costs exhaust
+    # patience within the checkpointed history
+    curves = os.path.join(wd, "curves.json")
+    with open(curves, "w") as f:
+        json.dump([{"epoch": 0, "phase": "VAL", "loss": 100.0},
+                   {"epoch": 1, "phase": "VAL", "loss": 100.0},
+                   {"epoch": 2, "phase": "VAL", "loss": 100.0}], f)
+
+    tr2 = get_trainer("AE")(cfg, workdir=wd)
+    state2 = tr2.fit(synth_dataset, resume=True)
+    # returned immediately from the restored checkpoint: no extra epoch
+    assert int(np.asarray(state2.epoch).ravel()[0]) == trained_epoch
+    # ...and no new history rows were appended past the replayed ones
+    assert len(tr2.history) == 3
+
+
+def test_checkpoint_restore_reapplies_mesh_layout(synth_dataset, tmp_path):
+    """load_checkpoint must land the restored state in the SAME sharding
+    layout init_state established (params sharded under tp, replicated
+    otherwise) — not on the default device."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.parallel.mesh import (
+        MeshConfig,
+        make_mesh,
+    )
+
+    ctx = make_mesh(MeshConfig(data=4, model=2), jax.devices()[:8])
+    cfg = Config(trainer="AE", model="autoencoder", batchsize=8,
+                 outputWidth=32, outputHeight=32, zDim=16, numEpochs=1,
+                 compute_dtype="float32")
+    wd = str(tmp_path / "wd")
+    tr = get_trainer("AE")(cfg, mesh=ctx, workdir=wd)
+    state = tr.init_state(jax.random.key(0))
+    tr.save_checkpoint(state, 0)
+
+    tr2 = get_trainer("AE")(cfg, mesh=ctx, workdir=wd)
+    fresh = tr2.init_state(jax.random.key(1))
+    restored, step = tr2.load_checkpoint(fresh)
+
+    flat_f, _ = jax.tree_util.tree_flatten(fresh.params)
+    flat_r, _ = jax.tree_util.tree_flatten(restored.params)
+    assert len(flat_f) == len(flat_r)
+    for lf, lr in zip(flat_f, flat_r):
+        assert lr.sharding == lf.sharding, (lr.sharding, lf.sharding)
+    # values restored from the checkpoint, not from the fresh template
+    orig = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_allclose(np.asarray(flat_r[0]), np.asarray(orig))
