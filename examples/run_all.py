@@ -43,18 +43,32 @@ from unsupervised_anomaly_detection_brain_mri_tpu.config import (
 METRIC_KEYS = ("AUROC", "AUPRC", "bestDice", "finalTrainLoss")
 
 
+def _flag_aliases() -> dict:
+    """Map every CLI flag spelling to its canonical form (``--numEpochs``
+    -> ``-E``), from the parser's own registrations."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.cli import make_parser
+
+    aliases = {}
+    for action in make_parser()._actions:
+        for s in action.option_strings:
+            aliases[s] = action.option_strings[0]
+    return aliases
+
+
 def _comparable_settings(tokens) -> dict:
     """Canonicalize a recipe-flag list to a {flag: values} map.
 
     Order-independent but pairing-preserving (so ``-E 1 -w 32`` never
-    equals ``-E 32 -w 1``); machine-local config paths are dropped in all
-    argparse spellings (``-c PATH``, ``-cPATH``, ``--config PATH``,
-    ``--config=PATH``).
+    equals ``-E 32 -w 1``); short/long spellings of the same flag compare
+    equal (``-E 1`` == ``--numEpochs 1``); machine-local config paths are
+    dropped in all argparse spellings (``-c PATH``, ``-cPATH``,
+    ``--config PATH``, ``--config=PATH``).
     """
+    aliases = _flag_aliases()
     pairs, flag, skip_value = {}, None, False
     for tok in (str(t) for t in tokens):
         if tok.startswith("-") and not tok[1:2].isdigit():
-            base = tok.split("=", 1)[0]
+            base = aliases.get(tok.split("=", 1)[0], tok.split("=", 1)[0])
             if base == "--config" or base == "-c" or (
                     tok.startswith("-c") and not tok.startswith("--")
                     and len(tok) > 2):

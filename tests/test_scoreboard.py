@@ -103,6 +103,9 @@ def test_compare_scoreboard_flags_regressions():
     from run_all import _comparable_settings
     assert (_comparable_settings(["--tv-lambda", "-1", "-E", "1"])
             == {"--tv-lambda": ["-1"], "-E": ["1"]})
+    # short/long spellings of the same CLI flag compare equal
+    assert (_comparable_settings(["--numEpochs", "1", "-w", "32"])
+            == _comparable_settings(["-E", "1", "--outputWidth", "32"]))
 
 
 def test_expected_table_is_complete():
