@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <string>
 #include <vector>
 
 extern "C" {
@@ -126,7 +127,12 @@ static const char kMagic[8] = {'U', 'A', 'D', 'C', '0', '0', '0', '1'};
 int uad_write_cache(const char* path, const float* images,
                     const float* labels, const int32_t* sets, int64_t n,
                     int32_t h, int32_t w) {
-  FILE* f = std::fopen(path, "wb");
+  // Write to a temp sibling and rename into place: a process killed
+  // mid-write must not leave a truncated file whose valid magic/header
+  // passes uad_read_cache_header and then permanently crashes the
+  // memmap-based loader until the user deletes it by hand.
+  std::string tmp = std::string(path) + ".tmp";
+  FILE* f = std::fopen(tmp.c_str(), "wb");
   if (!f) return -1;
   int ok = 1;
   ok &= std::fwrite(kMagic, 1, 8, f) == 8;
@@ -139,8 +145,16 @@ int uad_write_cache(const char* path, const float* images,
   ok &= std::fwrite(labels, sizeof(float), (size_t)n * hw, f) ==
         (size_t)n * hw;
   ok &= std::fwrite(sets, sizeof(int32_t), (size_t)n, f) == (size_t)n;
-  std::fclose(f);
-  return ok ? 0 : -2;
+  ok &= std::fclose(f) == 0;
+  if (!ok) {
+    std::remove(tmp.c_str());
+    return -2;
+  }
+  if (std::rename(tmp.c_str(), path) != 0) {
+    std::remove(tmp.c_str());
+    return -3;
+  }
+  return 0;
 }
 
 int uad_read_cache_header(const char* path, int64_t* n, int32_t* h,

@@ -261,3 +261,99 @@ def test_brainweb_downloader_layout(tmp_path, rng):
     assert os.path.isfile(
         os.path.join(tmp_path, "groundtruth", "severe_lesions.mnc.gz"))
     assert len(calls) == 4
+
+
+def test_msisbi2015_gathers_all_protocol_volumes(tmp_path, rng):
+    """The slice pool is built from EVERY protocol volume of a patient
+    (`MSISBI2015.py:127-132` iterates all filtered_files), not only the
+    first; the eval-path volume reload still uses the first file only
+    (the reference's `len(diffs)==0` guard, `Evaluation.py:202-204`)."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.data.formats import (
+        write_nifti,
+    )
+    from unsupervised_anomaly_detection_brain_mri_tpu.data.ms_datasets import (
+        MSISBI2015,
+        MSOptions,
+    )
+
+    root = str(tmp_path / "isbi")
+    _make_msisbi_tree(root, rng)
+    # add a T2 volume next to each patient's FLAIR
+    for f in ("training01", "training02"):
+        pre = os.path.join(root, f, "preprocessed")
+        name = f + "_01"
+        write_nifti(os.path.join(pre, f"{name}_t2_pp.nii"),
+                    rng.uniform(0.3, 1.0, (24, 20, 20)))
+
+    common = dict(dir=root, sliceStart=0, sliceEnd=20,
+                  sliceResolution=(16, 16),
+                  partition={"TRAIN": 0.0, "VAL": 0.5, "TEST": 0.5},
+                  cache=False)
+    ds_flair = MSISBI2015(MSOptions(filterProtocol=("FLAIR",), **common))
+    ds_both = MSISBI2015(MSOptions(filterProtocol=("FLAIR", "T2"),
+                                   **common))
+    assert len(ds_both.patients[0]["filtered_files"]) == 2
+    # both protocols contribute slices -> twice the pool
+    assert (len(ds_both.slices("TEST")) + len(ds_both.slices("VAL"))
+            == 2 * (len(ds_flair.slices("TEST"))
+                    + len(ds_flair.slices("VAL"))))
+
+
+def test_next_batch_shuffle_after_unshuffled_epoch_start(tmp_path, rng):
+    """Wrapping with shuffle=True after the epoch STARTED with
+    shuffle=False must not crash on the lazily-created order table."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.data.ms_datasets import (
+        MSISBI2015,
+        MSOptions,
+    )
+
+    root = str(tmp_path / "isbi")
+    _make_msisbi_tree(root, rng)
+    ds = MSISBI2015(MSOptions(
+        dir=root, sliceStart=0, sliceEnd=20, sliceResolution=(16, 16),
+        partition={"TRAIN": 1.0, "VAL": 0.0, "TEST": 0.0},
+        filterProtocol=("FLAIR",), cache=False))
+    n = len(ds.slices("TRAIN"))
+    assert n > 1
+    bs = n - 1
+    ds.next_batch(bs, shuffle=False, set="TRAIN")
+    imgs, labs, _ = ds.next_batch(bs, shuffle=True, set="TRAIN")  # wraps
+    assert imgs.shape[0] == bs
+
+
+def test_nifti_detached_hdr_img_pair(tmp_path):
+    """A .hdr/.img pair ('ni1' magic) reads voxels from the .img sibling
+    at vox_offset 0 — not from past the header file's 348 bytes."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.data import formats
+
+    vol = np.arange(2 * 3 * 4, dtype=np.float32).reshape(2, 3, 4)
+    one = str(tmp_path / "one.nii")
+    formats.write_nifti(one, vol)
+    with open(one, "rb") as f:
+        raw = bytearray(f.read())
+    # single-file -> detached pair: magic 'ni1\0', vox_offset 0
+    raw[344:348] = b"ni1\x00"
+    import struct
+
+    struct.pack_into("<f", raw, 108, 0.0)
+    hdr = tmp_path / "pair.hdr"
+    hdr.write_bytes(bytes(raw[:352]))
+    (tmp_path / "pair.img").write_bytes(bytes(raw[352:]))
+
+    data, meta = formats.read_nifti(str(hdr))
+    np.testing.assert_allclose(np.asarray(data, np.float32), vol)
+
+    (tmp_path / "pair.img").unlink()
+    with pytest.raises(FileNotFoundError):
+        formats.read_nifti(str(hdr))
+
+
+def test_pad_batch_to_pads_beyond_batch_size():
+    from unsupervised_anomaly_detection_brain_mri_tpu.parallel.mesh import (
+        pad_batch_to,
+    )
+
+    out = pad_batch_to(np.arange(12, dtype=np.float32).reshape(3, 4), 8)
+    assert out.shape == (8, 4)
+    np.testing.assert_array_equal(out[3:6], out[:3])  # tiled filler
+    assert pad_batch_to(np.zeros((8, 2)), 4).shape == (8, 2)  # no-op

@@ -322,3 +322,27 @@ def test_nifti_qform_only_affine(tmp_path):
     # rotation about z: x-axis maps to +y at scale 2
     assert np.allclose(aff[:3, :3],
                        [[0, -2, 0], [2, 0, 0], [0, 0, 2]], atol=1e-5)
+
+
+def test_minc2_nondefault_dimorder_str_attr(tmp_path, rng):
+    """h5py returns string attrs as str (not bytes); a non-default
+    dimorder stored that way must still be honored — falling back to
+    zspace,yspace,xspace silently transposes the volume."""
+    h5py = pytest.importorskip("h5py")
+    data_xyz = rng.uniform(0, 1, (6, 5, 4))  # stored as (x, y, z)
+    p = str(tmp_path / "vol.mnc")
+    with h5py.File(p, "w") as h5:
+        ds = h5.create_dataset("minc-2.0/image/0/image", data=data_xyz)
+        ds.attrs["dimorder"] = "xspace,yspace,zspace"  # str, not bytes
+    back, meta = formats.read_minc(p)
+    assert meta["dims"] == ["xspace", "yspace", "zspace"]
+    # loader returns (x, y, z) -> already in storage order here
+    np.testing.assert_allclose(back, data_xyz)
+
+    # bytes spelling of the same attr behaves identically
+    p2 = str(tmp_path / "vol2.mnc")
+    with h5py.File(p2, "w") as h5:
+        ds = h5.create_dataset("minc-2.0/image/0/image", data=data_xyz)
+        ds.attrs["dimorder"] = np.bytes_(b"xspace,yspace,zspace")
+    back2, _ = formats.read_minc(p2)
+    np.testing.assert_allclose(back2, data_xyz)

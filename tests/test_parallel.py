@@ -238,3 +238,24 @@ def test_mesh_evaluation_matches_single_device(ctx8, synth_dataset,
         np.testing.assert_allclose(r1[k], r8[k], rtol=1e-5, err_msg=k)
     np.testing.assert_allclose(np.asarray(r1["diffs"]),
                                np.asarray(r8["diffs"]), atol=1e-5)
+
+
+def test_shard_like_params_requires_shape_match():
+    """Optimizer-state leaves that share a param's path SUFFIX but not its
+    shape (factored moments like adafactor's v_row) must be replicated,
+    not given the param's 2-D sharding (which would fail device_put)."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.parallel.sharding import (
+        shard_like_params,
+    )
+
+    ctx = make_mesh(MeshConfig(data=4, model=2), jax.devices()[:8])
+    params = {"dense": {"kernel": np.zeros((8, 16), np.float32)}}
+    opt_tree = {
+        "m": {"dense": {"kernel": np.zeros((8, 16), np.float32)}},
+        "v_row": {"dense": {"kernel": np.zeros((8,), np.float32)}},
+    }
+    out = shard_like_params(ctx, params, opt_tree)
+    full = out["m"]["dense"]["kernel"].sharding
+    red = out["v_row"]["dense"]["kernel"].sharding
+    assert "model" in str(full.spec)
+    assert red.is_fully_replicated

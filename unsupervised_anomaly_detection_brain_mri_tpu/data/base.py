@@ -33,6 +33,7 @@ from scipy.ndimage import rotate
 from unsupervised_anomaly_detection_brain_mri_tpu.data.preprocess import (
     crop,
     crop_center,
+    pad_to_center,
     resize_slice,
 )
 from unsupervised_anomaly_detection_brain_mri_tpu.data.volume import NII
@@ -96,9 +97,14 @@ class BaseDataset:
     def _get_patients(self) -> List[Dict[str, Any]]:
         raise NotImplementedError
 
-    def load_volumes(self, patient: Dict[str, Any]
+    def load_volumes(self, patient: Dict[str, Any],
+                     filename: Optional[str] = None
                      ) -> Tuple[NII, NII, NII]:
-        """(volume, groundtruth, skullmap) as NII objects, normalized."""
+        """(volume, groundtruth, skullmap) as NII objects, normalized.
+
+        ``filename`` selects one of the patient's ``filtered_files`` (the
+        slice-pool gather iterates ALL of them, `MSISBI2015.py:127-132`);
+        None means the patient's first/only volume."""
         raise NotImplementedError
 
     def keep_slice(self, slice_data: np.ndarray) -> bool:
@@ -202,15 +208,8 @@ class BaseDataset:
                 slice_data = resize_slice(slice_data, res)
                 slice_seg = resize_slice(slice_seg, res, nearest=True)
             else:
-                tmp = np.zeros(res, np.float32)
-                tmps = np.zeros(res, np.float32)
-                sy = (res[0] - slice_data.shape[0]) // 2
-                sx = (res[1] - slice_data.shape[1]) // 2
-                tmp[sy: sy + slice_data.shape[0],
-                    sx: sx + slice_data.shape[1]] = slice_data
-                tmps[sy: sy + slice_seg.shape[0],
-                     sx: sx + slice_seg.shape[1]] = slice_seg
-                slice_data, slice_seg = tmp, tmps
+                slice_data = pad_to_center(slice_data, res)
+                slice_seg = pad_to_center(slice_seg, res)
         else:
             # MS sets: zero-pad up, then scipy zoom, then re-binarize seg
             # (`MSISBI2015.py:159-177`)
@@ -231,8 +230,23 @@ class BaseDataset:
 
     def _gather_patient(self, patient: Dict[str, Any]
                         ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+        """Slice pool from EVERY protocol volume of the patient
+        (`MSISBI2015.py:127-132` iterates all filtered_files; the eval
+        path's volume reload uses only the first, matching the
+        reference's `len(diffs)==0` guard at `Evaluation.py:202-204`)."""
+        files = patient.get("filtered_files") or [None]
+        images, labels = [], []
+        for filename in files:
+            imgs, labs = self._gather_volume(patient, filename)
+            images.extend(imgs)
+            labels.extend(labs)
+        return images, labels
+
+    def _gather_volume(self, patient: Dict[str, Any],
+                       filename: Optional[str]
+                       ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
         o = self.options
-        vol, seg, _ = self.load_volumes(patient)
+        vol, seg, _ = self.load_volumes(patient, filename=filename)
         images, labels = [], []
         s_end = min(o.sliceEnd, vol.num_slices_along_axis(o.axis))
         for s in range(o.sliceStart, s_end):
@@ -329,6 +343,8 @@ class BaseDataset:
                     break
             if split_idx is None:
                 continue
+            if 0 < o.numSamples <= len(images):
+                break  # quota filled — don't preprocess remaining volumes
             imgs, labs = self._gather_patient(patient)
             if 0 < o.numSamples < len(images) + len(imgs):
                 imgs = imgs[: max(o.numSamples - len(images), 0)]
@@ -392,7 +408,9 @@ class BaseDataset:
             rest = idx[order[start:]]
             if shuffle:
                 order = self._rng.permutation(n)
-                self._order[set] = order
+                # _order may not exist yet if the epoch STARTED unshuffled
+                # (start==0 branch above only creates it when shuffling)
+                self._order = {**getattr(self, "_order", {}), set: order}
             new_start = batch_size - len(rest)
             self._index_in_epoch[set] = new_start
             sel = np.concatenate([rest, idx[order[:new_start]]])

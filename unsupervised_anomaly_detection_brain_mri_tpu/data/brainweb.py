@@ -84,8 +84,10 @@ class BRAINWEB(BaseDataset):
                     })
         return patients
 
-    def load_volumes(self, patient: Dict[str, Any]) -> Tuple[NII, NII, NII]:
-        """(`dataloaders/BRAINWEB.py:255-298`)."""
+    def load_volumes(self, patient: Dict[str, Any],
+                     filename: str = None) -> Tuple[NII, NII, NII]:
+        """(`dataloaders/BRAINWEB.py:255-298`).  BrainWeb patients carry a
+        single volume; ``filename`` is accepted for interface parity."""
         o = self.options
         minc = MINC(patient["fullpath"])
         minc.set_view_mapping(VIEW_MAPPING)

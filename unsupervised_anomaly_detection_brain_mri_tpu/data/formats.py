@@ -63,6 +63,29 @@ def read_nifti(path: str) -> Tuple[np.ndarray, Dict[str, Any]]:
     magic = hdr[344:348]
     if magic[:2] not in (b"n+", b"ni"):
         raise ValueError(f"{path}: bad NIfTI magic {magic!r}")
+    if magic[:2] == b"ni":
+        # detached .hdr/.img pair: voxels live in the sibling .img, and
+        # vox_offset applies to THAT file (not the 352-byte single-file
+        # minimum) — reading past the 348-byte header here would return
+        # garbage or underflow the buffer
+        base = str(path)
+        gz = base.endswith(".gz")
+        if gz:
+            base = base[:-3]
+        if not base.endswith(".hdr"):
+            raise ValueError(
+                f"{path}: detached-header magic 'ni1' in a non-.hdr file")
+        for img_path in (base[:-4] + ".img", base[:-4] + ".img.gz"):
+            if os.path.exists(img_path):
+                with _open_maybe_gz(img_path) as f:
+                    raw = f.read()
+                break
+        else:
+            raise FileNotFoundError(
+                f"{path}: detached NIfTI pair is missing its .img file")
+        data_offset = max(vox_offset, 0)
+    else:
+        data_offset = max(vox_offset, 352)
 
     ndim = dim[0]
     shape = tuple(max(1, d) for d in dim[1: 1 + max(ndim, 3)])[:3]
@@ -72,7 +95,7 @@ def read_nifti(path: str) -> Tuple[np.ndarray, Dict[str, Any]]:
     count = int(np.prod(shape))
     arr = np.frombuffer(
         raw, dtype=np.dtype(np_dtype).newbyteorder(byte_order),
-        count=count, offset=max(vox_offset, 352))
+        count=count, offset=data_offset)
     data = arr.reshape(shape, order="F").astype(np.float64)
     if scl_slope not in (0.0, 1.0):
         data = data * scl_slope + scl_inter
@@ -217,11 +240,13 @@ def _read_minc2(path: str) -> Tuple[np.ndarray, Dict[str, Any]]:
     with h5py.File(opener, "r") as h5:
         node = h5["minc-2.0/image/0/image"]
         data = np.asarray(node[...], np.float64)
-        dims = [d.decode() if isinstance(d, bytes) else str(d)
-                for d in node.attrs.get("dimorder", b"zspace,yspace,xspace"
-                                        ).decode().split(",")] \
-            if isinstance(node.attrs.get("dimorder"), bytes) else \
-            ["zspace", "yspace", "xspace"]
+        # h5py returns string attrs as bytes OR str depending on how they
+        # were stored — honor the recorded dimorder in both cases, only
+        # falling back to the MINC default when the attribute is absent
+        dimorder = node.attrs.get("dimorder", "zspace,yspace,xspace")
+        if isinstance(dimorder, bytes):
+            dimorder = dimorder.decode()
+        dims = [str(d).strip() for d in str(dimorder).split(",")]
     if data.ndim == 3:
         axes = {d: i for i, d in enumerate(dims)}
         order = [axes.get("xspace", 2), axes.get("yspace", 1),

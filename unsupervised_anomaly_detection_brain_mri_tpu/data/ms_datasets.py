@@ -58,10 +58,11 @@ class _MSBase(BaseDataset):
     def resize_mode(self) -> str:
         return "pad_then_zoom"
 
-    def load_volumes(self, patient: Dict[str, Any]) -> Tuple[NII, NII, NII]:
+    def load_volumes(self, patient: Dict[str, Any],
+                     filename: str = None) -> Tuple[NII, NII, NII]:
         # (`MSISBI2015.py:225-254`)
         o = self.options
-        nii = open_volume(patient["filtered_files"][0])
+        nii = open_volume(filename or patient["filtered_files"][0])
         nii.denoise()
         nii.set_view_mapping(MS_VIEW_MAPPING)
         nii.data = np.nan_to_num(nii.data)

@@ -32,8 +32,14 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
-    except (RuntimeError, ValueError):
-        pass  # already initialised or single-process
+    except RuntimeError as e:
+        # ONLY double-initialization is benign; swallowing genuine bring-up
+        # failures (wrong/unreachable coordinator) would let every host
+        # proceed as an independent single-process run, silently training
+        # divergent copies into the same workdir
+        if "once" in str(e) or "already" in str(e).lower():
+            return
+        raise
 
 
 def psum_mean(x: Array, axis_name: str = DATA_AXIS) -> Array:

@@ -92,10 +92,15 @@ def global_batch_from_local(ctx: MeshContext, local_batch: Any) -> Any:
 
 
 def pad_batch_to(batch: np.ndarray, multiple: int) -> np.ndarray:
-    """Pad the batch axis up to a multiple (for even sharding)."""
+    """Pad the batch axis up to a multiple (for even sharding).
+
+    The pad can exceed the batch size (e.g. 3 rows on an 8-way data mesh
+    needs 5 pad rows), so the source is tiled as many times as needed."""
     b = batch.shape[0]
     rem = b % multiple
     if rem == 0:
         return batch
     pad = multiple - rem
-    return np.concatenate([batch, batch[:pad]], axis=0)
+    reps = -(-pad // b)  # ceil: enough copies to cover the pad
+    filler = np.concatenate([batch] * reps, axis=0)[:pad]
+    return np.concatenate([batch, filler], axis=0)

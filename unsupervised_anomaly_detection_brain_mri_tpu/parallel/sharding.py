@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from unsupervised_anomaly_detection_brain_mri_tpu.parallel.mesh import (
@@ -61,13 +62,19 @@ def shard_like_params(ctx: MeshContext, params: Any, tree: Any) -> Any:
     flat_sh = {tuple(str(k) for k in path): s
                for path, s in jax.tree_util.tree_flatten_with_path(
                    shardings)[0]}
+    flat_shape = {tuple(str(k) for k in path): np.shape(p)
+                  for path, p in jax.tree_util.tree_flatten_with_path(
+                      params)[0]}
 
     def fn(path, leaf):
         key = tuple(str(k) for k in path)
         # optimizer states often nest the param tree under extra levels;
-        # match on the suffix
+        # match on the suffix — AND require the shape to actually equal the
+        # param's (factored/reduced moments like adafactor's v_row share
+        # the path but not the shape; mis-sharding them fails device_put)
         for pk, s in flat_sh.items():
-            if key[-len(pk):] == pk and hasattr(leaf, "shape"):
+            if (key[-len(pk):] == pk and hasattr(leaf, "shape")
+                    and tuple(leaf.shape) == tuple(flat_shape[pk])):
                 return jax.device_put(leaf, s)
         return jax.device_put(leaf, ctx.replicated())
 
