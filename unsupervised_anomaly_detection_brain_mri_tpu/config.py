@@ -249,7 +249,9 @@ class Options:
     threshold: Optional[float] = None  # None == 'bestdice'
     numMonteCarloSamples: int = 0
     keepOnlyPositiveResiduals: bool = True
-    applyHyperIntensityPrior: bool = False
+    # reference default TRUE (`utils/default_config_setup.py:56`); the CLI
+    # dispatch paths still set it explicitly per protocol step
+    applyHyperIntensityPrior: bool = True
     medianFiltering: bool = True
     erodeBrainmask: bool = True
     erosionIterations: int = 12
@@ -284,8 +286,9 @@ DATASET_PARTITIONS: Dict[Dataset, Dict[str, float]] = {
 
 # Experiment matrix — parity with `mains/main_*.py` (SURVEY.md section 2.7).
 EXPERIMENT_PRESETS: Dict[str, Dict[str, Any]] = {
+    # main_AE is the ONLY reference main with numEpochs=2 (`mains/main_AE.py:11`)
     "AE": dict(trainer="AE", model="autoencoder", batchsize=128, learningrate=1e-4,
-               intermediateResolutions=(8, 8), dropout_rate=0.2),
+               numEpochs=2, intermediateResolutions=(8, 8), dropout_rate=0.2),
     "AE_spatial": dict(trainer="AE", model="autoencoder_spatial", batchsize=8,
                        learningrate=1e-4, intermediateResolutions=(8, 8), dropout_rate=0.2),
     "VAE": dict(trainer="VAE", model="variational_autoencoder", batchsize=8,
@@ -300,9 +303,13 @@ EXPERIMENT_PRESETS: Dict[str, Dict[str, Any]] = {
     "ceVAE": dict(trainer="ceVAE", model="context_encoder_variational_autoencoder",
                   batchsize=8, learningrate=1e-4, numEpochs=3, dropout_rate=0.1,
                   use_gradient_based_restoration=0.1),
+    # the ceVAE trainer Config defaults use_gradient_based_restoration=True
+    # (`trainers/ceVAE.py:16`) and main_ceVAE_Zimmerer does not override it,
+    # so eval restores with lambda True == 1.0 (`trainers/ceVAE.py:139`)
     "ceVAE_Zimmerer": dict(trainer="ceVAE",
                            model="context_encoder_variational_autoencoder_Zimmerer",
-                           batchsize=8, learningrate=1e-4, dropout_rate=0.1),
+                           batchsize=8, learningrate=1e-4, dropout_rate=0.1,
+                           use_gradient_based_restoration=1.0),
     "GMVAE": dict(trainer="GMVAE", model="gaussian_mixture_variational_autoencoder",
                   batchsize=8, learningrate=5e-5, dropout_rate=0.1, dim_c=9,
                   dim_z=128, dim_w=1, c_lambda=1.0, restore_steps=3),

@@ -116,10 +116,18 @@ class _AAECore(nn.Module):
         out: Dict[str, Array] = {}
         z_ = self.encode(x, train=train, dropout=dropout)
         out["z_"] = out["z"] = z_
-        x_hat = self.decode(z_, train=train, dropout=dropout)
+        # Constrained-ADVERSARIAL reference quirk: its decoder-dense and
+        # z_rec dropout calls lack the training flag and never fire
+        # (`models/constrained_adversarial_autoencoder.py:36,49`).  The
+        # plain AAE (`adversarial_autoencoder.py:30-31`) and the
+        # non-adversarial constrained AE (`constrained_autoencoder.py:
+        # 30,46`) pass the flag on every call.
+        quirk = self.constrained and self.with_discriminator
+        x_hat = self.decode(z_, train=train, dropout=dropout and not quirk)
         out["x_hat"] = x_hat
         if self.constrained:
-            out["z_rec"] = self.encode(x_hat, train=train, dropout=dropout)
+            out["z_rec"] = self.encode(x_hat, train=train,
+                                       dropout=dropout and not quirk)
         if z is not None:
             out["d_"] = self.discriminate(z_)
             out["d"] = self.discriminate(z)

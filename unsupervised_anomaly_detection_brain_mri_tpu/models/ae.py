@@ -40,7 +40,10 @@ class Autoencoder(nn.Module):
             space_to_depth_stem=self.space_to_depth_stem, dtype=self.dtype
         )
         self.bottleneck = DenseBottleneck(
-            self.z_dim, self.dropout_rate, dtype=self.dtype
+            self.z_dim, self.dropout_rate,
+            # reference AE quirk: the decoder-dense dropout call lacks the
+            # training flag and never fires (`models/autoencoder.py:31`)
+            decoder_dropout=False, dtype=self.dtype
         )
         self.decoder = UnifiedDecoder(
             self.image_size,

@@ -76,8 +76,12 @@ class Norm(nn.Module):
                 epsilon=BN_EPS,
                 dtype=self.dtype,
             )(x)
+        # keras LayerNormalization's default epsilon is 1e-3 (BN_EPS was
+        # already matched); flax's 1e-6 default deviates wherever spatial
+        # variance is small
         return nn.LayerNorm(
-            reduction_axes=(-3, -2), feature_axes=-1, dtype=self.dtype
+            reduction_axes=(-3, -2), feature_axes=-1, epsilon=BN_EPS,
+            dtype=self.dtype
         )(x)
 
 
@@ -354,6 +358,11 @@ class DenseBottleneck(nn.Module):
 
     z_dim: int
     dropout_rate: float = 0.2
+    # the AE's reference decoder-dense dropout call lacks the training
+    # flag and is therefore INACTIVE (`models/autoencoder.py:31` —
+    # `dropout_layer(dec_dense(z))` vs the z call's `, dropout`); models
+    # whose reference passes the flag (VAE/CE/constrainedAE) keep it on
+    decoder_dropout: bool = True
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -374,7 +383,7 @@ class DenseBottleneck(nn.Module):
         dec = drop(
             nn.Dense(math.prod(reshape), kernel_init=dense_init,
                      dtype=self.dtype, name="dec_dense")(z),
-            deterministic=not dropout,
+            deterministic=not (dropout and self.decoder_dropout),
         )
         out = nn.Conv(
             channels, kernel_size=(1, 1), padding="SAME", kernel_init=conv_init,
@@ -412,7 +421,10 @@ class MLPDiscriminator(nn.Module):
         for i, width in enumerate(self.hidden):
             h = nn.Dense(width, kernel_init=dense_init, dtype=self.dtype,
                          name=f"disc_dense_{i}")(h)
-            h = leaky_relu(h)
+            # the MLP critics use tf.nn.leaky_relu (alpha=0.2), NOT the
+            # keras LeakyReLU layer (0.3) of the conv backbones —
+            # `models/adversarial_autoencoder.py:4,46-47`
+            h = nn.leaky_relu(h, negative_slope=0.2)
         d = nn.Dense(1, kernel_init=dense_init, dtype=self.dtype,
                      name="disc_out")(h)
         return d.astype(jnp.float32)

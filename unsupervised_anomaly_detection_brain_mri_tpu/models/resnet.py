@@ -28,8 +28,10 @@ Array = jnp.ndarray
 
 
 def _spatial_ln(dtype: Optional[Any], name: str) -> nn.LayerNorm:
-    return nn.LayerNorm(reduction_axes=(-3, -2), feature_axes=-1, dtype=dtype,
-                        name=name)
+    # epsilon 1e-3 = keras LayerNormalization default
+    # (`constrained_adversarial_autoencoder_Chen.py:20`)
+    return nn.LayerNorm(reduction_axes=(-3, -2), feature_axes=-1,
+                        epsilon=1e-3, dtype=dtype, name=name)
 
 
 class ResBlockDown(nn.Module):

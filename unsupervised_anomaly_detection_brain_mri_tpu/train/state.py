@@ -35,7 +35,8 @@ def make_optimizer(config: Config, learningrate: Optional[float] = None,
     if opt == Optimizer.MOMENTUM:
         return optax.sgd(lr, momentum=0.9)
     if opt == Optimizer.RMSPROP:
-        return optax.rmsprop(lr)
+        # the reference passes momentum=0.9 (`trainers/DLMODEL.py:113,120`)
+        return optax.rmsprop(lr, momentum=0.9)
     raise ValueError(f"unknown optimizer {opt}")
 
 
@@ -55,14 +56,10 @@ def param_group_mask(params: Any, predicate: Callable[[Tuple[str, ...]], bool]
     """Boolean pytree mask selecting parameters whose path satisfies
     ``predicate`` (the functional analogue of TF var-name scoping,
     `trainers/AAE.py:62-64`)."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
     def label(path) -> bool:
         keys = tuple(
             p.key if hasattr(p, "key") else str(p) for p in path)
         return predicate(keys)
-
-    labeled = {tuple(p for p in path): label(path) for path, _ in flat}
 
     def mask_fn(path, leaf):
         return label(path)
