@@ -260,6 +260,11 @@ class Options:
     exportPNGs: bool = False
     computePRC: bool = True
     computeROC: bool = True
+    # Volumes stacked through ONE vmapped dispatch of the iterative
+    # restoration loop (VAE_You/GMVAE eval, `trainers/VAE_You.py:125-147`).
+    # Each volume keeps its exact per-volume semantics (own rng stream,
+    # own restoration-batch scale); 1 restores volumes sequentially.
+    restorationVolumeBatch: int = 4
 
     # logging / profiling
     tensorboard: bool = False

@@ -115,6 +115,69 @@ def _reconstruct_volume(trainer, state, x: np.ndarray, options: Options,
             "l1": l1, "l2": l2}
 
 
+def _reconstruct_volume_group(trainer, state, x_group, options: Options,
+                              rngs, erodeds) -> List[Dict[str, Any]]:
+    """Batched `_reconstruct_volume` for iterative-restoration trainers.
+
+    K prepared volumes are zero-padded to a common slice count, stacked to
+    (K, S, H, W, 1), and driven through the trainer's vmapped restoration
+    loop in ONE device dispatch (per MC sample) — the 150-step loop
+    (`trainers/VAE_You.py:125-147`) then does K volumes of work per step
+    instead of idling the chip on one small batch.  Semantics match
+    per-volume calls exactly: each volume keeps its own rng stream and its
+    own restoration-batch scale (``n_valid``), every MC sample is masked by
+    its volume's eroded brainmask before uncertainty combination
+    (`Evaluation.py:246-272`), and padded slices are cropped before return.
+    """
+    K = len(x_group)
+    S_max = max(int(x.shape[0]) for x in x_group)
+    tail = x_group[0].shape[1:]
+    vols = np.zeros((K, S_max) + tail, np.float32)
+    nv = np.zeros((K,), np.float32)
+    for k, x in enumerate(x_group):
+        vols[k, : x.shape[0]] = x
+        nv[k] = x.shape[0]
+    vols_d = jnp.asarray(vols)
+    nv_d = jnp.asarray(nv)
+    rngs_d = jnp.stack(list(rngs))
+    mc = int(options.numMonteCarloSamples or 0)
+    if mc > 1:
+        mask = np.zeros((K, S_max) + tail, np.float32)
+        for k, er in enumerate(erodeds):
+            mask[k, : er.shape[0]] = np.asarray(er, np.float32)[..., None]
+        mask = jnp.asarray(mask)
+        recs = []
+        for i in range(mc):
+            ri = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(rngs_d)
+            r = trainer.reconstruct_volumes_device(
+                state, vols_d, dropout=True, rngs=ri, n_valid=nv_d)
+            recs.append(jnp.asarray(r["reconstruction"]) * mask)
+        recs = jnp.stack(recs, axis=0)  # (mc, K, S, H, W, 1)
+        rec = recs.mean(axis=0)
+        epistemic = M.combined_predictive_uncertainty(
+            recs, jnp.zeros_like(recs), axis=0)
+        combined = M.combined_predictive_uncertainty(
+            recs, jnp.zeros_like(recs), axis=0) * mask
+    else:
+        r = trainer.reconstruct_volumes_device(
+            state, vols_d, dropout=False, rngs=rngs_d, n_valid=nv_d)
+        rec = jnp.asarray(r["reconstruction"])
+        epistemic = combined = None
+    l1 = jnp.sum(jnp.abs(vols_d - rec), axis=(2, 3, 4))  # (K, S_max)
+    l2 = jnp.sum(jnp.sqrt((vols_d - rec) ** 2), axis=(2, 3, 4))
+    out = []
+    for k, x in enumerate(x_group):
+        S = int(x.shape[0])
+        out.append({
+            "reconstruction": rec[k, :S],
+            "epistemic": epistemic[k, :S] if epistemic is not None else None,
+            "combined": combined[k, :S] if combined is not None else None,
+            "log_var": None,
+            "l1": l1[k, :S], "l2": l2[k, :S],
+        })
+    return out
+
+
 def _erode_jit(erosion_iters: int):
     @jax.jit
     def fn(skullmap, erode):
@@ -288,6 +351,9 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
                   - getattr(dataset.options, "sliceStart", 0))
     skipped: set = set()
 
+    # ---- pass 1 (host): load + zoom + prepare every kept patient
+    mc = int(options.numMonteCarloSamples or 0)
+    prepared = []
     for p, patient in enumerate(patients):
         vol, gt, brainmask, skullmap = dataset.load_volume_and_groundtruth(
             patient)
@@ -305,17 +371,59 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
         skm = _zoom_volume(skullmap[:, :, s0:s1], target, seg=True)
         seg = (seg > 0.5).astype(np.float32)
         skm = (skm > 0.5).astype(np.float32)
-        prior_q = float(np.quantile(vol, 0.9))
-        mc = int(options.numMonteCarloSamples or 0)
-        # the standalone eroded mask is only needed to mask MC samples;
-        # otherwise erosion folds into the postprocess dispatch
-        eroded = _eroded_mask(skm, options) if mc > 1 else None
+        # native geometry for residual re-export; datasets without file
+        # provenance (e.g. synthetic) fall back to the axial-last frame
+        geo = dict(getattr(dataset, "last_geometry", None)
+                   or {"shape": vol.shape, "axis_index": 2,
+                       "pixdim": (1.0, 1.0, 1.0), "affine": None})
+        geo["slice_range"] = (s0, s1)
+        prepared.append({
+            "p": p, "x": x, "seg": seg, "skm": skm, "geo": geo,
+            "s0": s0, "s1": s1,
+            "prior_q": float(np.quantile(vol, 0.9)),
+            # the standalone eroded mask is only needed to mask MC samples;
+            # otherwise erosion folds into the postprocess dispatch
+            "eroded": _eroded_mask(skm, options) if mc > 1 else None,
+        })
 
-        t0 = time.time()
-        res = _reconstruct_volume(trainer, state, x[..., None], options,
-                                  jax.random.fold_in(rng, p), eroded)
-        jax.block_until_ready(res["reconstruction"])  # honest timing
-        times.append((time.time() - t0) / max(len(x), 1))
+    # ---- pass 2 (device): reconstruction.  Iterative-restoration trainers
+    # (VAE_You/GMVAE) restore `restorationVolumeBatch` patients per vmapped
+    # dispatch; everything else reconstructs per volume as before.
+    group_size = max(1, int(getattr(options, "restorationVolumeBatch", 1)))
+    batched = (group_size > 1 and len(prepared) > 1 and getattr(
+        trainer, "batched_volume_restoration", lambda: False)())
+    results: List[Dict[str, Any]] = [None] * len(prepared)
+    if batched:
+        for g0 in range(0, len(prepared), group_size):
+            grp = prepared[g0:g0 + group_size]
+            t0 = time.time()
+            res_g = _reconstruct_volume_group(
+                trainer, state, [it["x"][..., None] for it in grp], options,
+                [jax.random.fold_in(rng, it["p"]) for it in grp],
+                [it["eroded"] for it in grp])
+            jax.block_until_ready(res_g[-1]["reconstruction"])
+            per_slice = (time.time() - t0) / max(
+                sum(len(it["x"]) for it in grp), 1)
+            for off, res in enumerate(res_g):
+                results[g0 + off] = res
+                times.append(per_slice)
+    else:
+        for idx, it in enumerate(prepared):
+            t0 = time.time()
+            res = _reconstruct_volume(trainer, state, it["x"][..., None],
+                                      options,
+                                      jax.random.fold_in(rng, it["p"]),
+                                      it["eroded"])
+            jax.block_until_ready(res["reconstruction"])  # honest timing
+            times.append((time.time() - t0) / max(len(it["x"]), 1))
+            results[idx] = res
+
+    # ---- pass 3: residual post-processing + accumulation
+    for idx, it in enumerate(prepared):
+        x, seg, skm = it["x"], it["seg"], it["skm"]
+        s0, s1, prior_q, eroded = it["s0"], it["s1"], it["prior_q"], \
+            it["eroded"]
+        res = results[idx]
         rec = res["reconstruction"][..., 0]
 
         want_raw = bool(options.exportPNGs)
@@ -346,13 +454,7 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
         recs.append(np.asarray(rec))
         diffs.append(diff)
         labelmaps.append(seg)
-        # native geometry for residual re-export; datasets without file
-        # provenance (e.g. synthetic) fall back to the axial-last frame
-        geo = dict(getattr(dataset, "last_geometry", None)
-                   or {"shape": vol.shape, "axis_index": 2,
-                       "pixdim": (1.0, 1.0, 1.0), "affine": None})
-        geo["slice_range"] = (s0, s1)
-        geoms.append(geo)
+        geoms.append(it["geo"])
         l1s.append(res["l1"])
         l2s.append(res["l2"])
         if res["epistemic"] is not None:

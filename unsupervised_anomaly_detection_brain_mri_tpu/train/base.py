@@ -563,6 +563,12 @@ class BaseTrainer:
                    for k, v in out.items()}
         return out
 
+    def batched_volume_restoration(self) -> bool:
+        """True when `reconstruct_volumes_device` vmaps an iterative
+        restoration loop over stacked whole volumes (VAE_You/GMVAE) — the
+        eval driver then restores several patients per device dispatch."""
+        return False
+
     def reconstruct(self, state: TrainState, x: Array, dropout: bool = False,
                     rng: Optional[Array] = None) -> Dict[str, np.ndarray]:
         """Reconstruct a batch of slices; returns numpy dict with
@@ -605,26 +611,23 @@ class VAE_You(VAE):
         if self.tv_lambda_value < 0:
             self.determine_best_lambda(dataset, state)
 
-    def _pixel_loss_fn(self, variables, dropout: bool = False):
-        """(x, rng) closures for the restoration loop.  ``dropout=True``
-        applies dropout during restoration forwards — the reference does
-        this "only during MC sampling" (`trainers/VAE_You.py:134`)."""
+    def _restoration_fn(self, variables, dropout: bool = False):
+        """(x, rng) -> (pixel_loss, x_hat) from ONE forward, for the
+        restoration loop.  ``dropout=True`` applies dropout during
+        restoration forwards — the reference does this "only during MC
+        sampling" (`trainers/VAE_You.py:134`).  The single shared forward
+        mirrors the reference graph, where `self.reconstruction` feeds both
+        the pixel loss and the TV term (`trainers/VAE_You.py:36-54`)."""
 
-        def pixel(x_in: Array, r: Array) -> Array:
+        def outputs_fn(x_in: Array, r: Array):
             outputs = self.model.apply(
                 variables, x_in, train=False, dropout=dropout,
                 rngs=self._rng_streams(r))
             rec = L.sum_per_sample(L.l1_elem(x_in, outputs["x_hat"]))
             kl = L.vae_kl(outputs["z_mu"], outputs["z_sigma"])
-            return rec + kl
+            return rec + kl, outputs["x_hat"]
 
-        def recon(x_in: Array, r: Array) -> Array:
-            outputs = self.model.apply(
-                variables, x_in, train=False, dropout=dropout,
-                rngs=self._rng_streams(r))
-            return outputs["x_hat"]
-
-        return pixel, recon
+        return outputs_fn
 
     def reconstruct_device(self, state: TrainState, x, dropout: bool = False,
                            rng=None) -> Dict[str, Array]:
@@ -634,8 +637,8 @@ class VAE_You(VAE):
         key = ("restore", bool(dropout))
         if key not in self._reconstruct_jit:
             def fn(variables, xin, lam, r):
-                pixel, recon = self._pixel_loss_fn(variables, bool(dropout))
-                return restore_inputs(pixel, recon, xin, lam,
+                outputs_fn = self._restoration_fn(variables, bool(dropout))
+                return restore_inputs(outputs_fn, xin, lam,
                                       c.restore_lr, c.restore_steps, rng=r)
             self._reconstruct_jit[key] = jax.jit(fn)
         variables = {"params": state.params}
@@ -644,6 +647,40 @@ class VAE_You(VAE):
         rng = rng if rng is not None else jax.random.key(0)
         restored = self._reconstruct_jit[key](
             variables, jnp.asarray(x), jnp.float32(self.tv_lambda_value), rng)
+        return {"reconstruction": restored}
+
+    def batched_volume_restoration(self) -> bool:
+        return self.config.restore_steps > 0
+
+    def reconstruct_volumes_device(self, state: TrainState, vols,
+                                   dropout: bool = False, rngs=None,
+                                   n_valid=None) -> Dict[str, Array]:
+        """Restore K whole volumes in ONE device dispatch: the restoration
+        loop (`trainers/VAE_You.py:125-147`) is vmapped over a stacked
+        (K, S, H, W, 1) volume axis.  Each volume keeps exactly its
+        sequential semantics — its own rng stream and its own restoration
+        batch axis — so outputs match per-volume `reconstruct_device` calls
+        while the chip sees K x S slices of work per restoration step.
+        ``n_valid`` is accepted for API uniformity; the VAE restoration
+        objective is per-sample, so zero-padded slices never influence
+        real ones."""
+        c = self.config
+        key = ("restore_vols", bool(dropout))
+        if key not in self._reconstruct_jit:
+            def one(variables, v, lam, r):
+                outputs_fn = self._restoration_fn(variables, bool(dropout))
+                return restore_inputs(outputs_fn, v, lam,
+                                      c.restore_lr, c.restore_steps, rng=r)
+            self._reconstruct_jit[key] = jax.jit(
+                jax.vmap(one, in_axes=(None, 0, None, 0)))
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        if rngs is None:
+            rngs = jax.random.split(jax.random.key(0), vols.shape[0])
+        restored = self._reconstruct_jit[key](
+            variables, jnp.asarray(vols),
+            jnp.float32(self.tv_lambda_value), rngs)
         return {"reconstruction": restored}
 
     def determine_best_lambda(self, dataset, state: TrainState) -> float:
@@ -661,7 +698,7 @@ class VAE_You(VAE):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        pixel, recon = self._pixel_loss_fn(variables)
+        outputs_fn = self._restoration_fn(variables)
 
         @jax.jit
         def sweep(bs):
@@ -669,7 +706,7 @@ class VAE_You(VAE):
 
             def err_for_lambda(lam):
                 def err_one(b):
-                    restored = restore_inputs(pixel, recon, b, lam,
+                    restored = restore_inputs(outputs_fn, b, lam,
                                               c.restore_lr, c.restore_steps)
                     return jnp.sum(jnp.abs(b - restored))
 
@@ -790,7 +827,7 @@ class GMVAE(BaseTrainer):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        pixel, recon = self._loss_and_recon_fns(variables)
+        outputs_fn = self._restoration_fn(variables)
 
         @jax.jit
         def sweep(bs):
@@ -798,7 +835,7 @@ class GMVAE(BaseTrainer):
 
             def err_for_lambda(lam):
                 def err_one(b):
-                    restored = restore_inputs(pixel, recon, b, lam,
+                    restored = restore_inputs(outputs_fn, b, lam,
                                               c.restore_lr, c.restore_steps)
                     return jnp.sum(jnp.abs(b - restored))
 
@@ -812,29 +849,35 @@ class GMVAE(BaseTrainer):
         print(f"Best lambda: {self.tv_lambda_value}")
         return self.tv_lambda_value
 
-    def _loss_and_recon_fns(self, variables, dropout: bool = False):
-        """(x, rng) closures for the restoration loop; ``dropout=True``
-        enables MC-sampling dropout (`trainers/GMVAE.py:186` — "apply only
-        during MC sampling")."""
+    def _restoration_fn(self, variables, dropout: bool = False,
+                        n_valid=None):
+        """(x, rng) -> (loss, xz_mu) from ONE forward, for the restoration
+        loop; ``dropout=True`` enables MC-sampling dropout
+        (`trainers/GMVAE.py:186` — "apply only during MC sampling").
 
-        def scalar_loss(x_in: Array, r: Array) -> Array:
+        ``n_valid`` overrides the restoration-batch denominator: the
+        objective is d(mean loss)/dx (`trainers/GMVAE.py:94-95`), and the
+        GMVAE loss is a per-sample-decomposable batch mean, so when a volume
+        is zero-padded to a common slice count for cross-volume batching,
+        rescaling by the TRUE slice count reproduces the unpadded gradient
+        on every real slice exactly."""
+
+        def outputs_fn(x_in: Array, r: Array):
             outputs = self.model.apply(
                 variables, x_in, train=False, dropout=dropout,
                 rngs=self._rng_streams(r))
             losses = L.gmvae_loss(x_in, outputs, self.config.dim_c,
                                   self.config.c_lambda, self.spatial)
             # the reference restores with d(mean loss)/dx
-            # (`trainers/GMVAE.py:94-95`): broadcast the scalar to (B,)
-            return jnp.broadcast_to(losses["loss"] / x_in.shape[0],
-                                    (x_in.shape[0],))
+            # (`trainers/GMVAE.py:94-95`): broadcast the scalar to (B,).
+            # sum(loss/denom over B) == B*loss/denom == sum-loss/denom.
+            denom = (jnp.float32(x_in.shape[0]) if n_valid is None
+                     else n_valid.astype(jnp.float32))
+            pixel = jnp.broadcast_to(losses["loss"] / denom,
+                                     (x_in.shape[0],))
+            return pixel, outputs["xz_mu"]
 
-        def recon(x_in: Array, r: Array) -> Array:
-            outputs = self.model.apply(
-                variables, x_in, train=False, dropout=dropout,
-                rngs=self._rng_streams(r))
-            return outputs["xz_mu"]
-
-        return scalar_loss, recon
+        return outputs_fn
 
     def reconstruct_device(self, state: TrainState, x, dropout: bool = False,
                            rng=None) -> Dict[str, Array]:
@@ -849,14 +892,49 @@ class GMVAE(BaseTrainer):
         key = ("restore", bool(dropout))
         if key not in self._reconstruct_jit:
             def fn(vs, xin, lam, r):
-                pixel, recon = self._loss_and_recon_fns(vs, bool(dropout))
-                return restore_inputs(pixel, recon, xin, lam,
+                outputs_fn = self._restoration_fn(vs, bool(dropout))
+                return restore_inputs(outputs_fn, xin, lam,
                                       c.restore_lr, c.restore_steps, rng=r)
             self._reconstruct_jit[key] = jax.jit(fn)
         rng = rng if rng is not None else jax.random.key(0)
         rec = self._reconstruct_jit[key](
             variables, jnp.asarray(x),
             jnp.float32(max(self.tv_lambda_value, 0.0)), rng)
+        return {"reconstruction": rec}
+
+    def batched_volume_restoration(self) -> bool:
+        return self.config.restore_steps > 0
+
+    def reconstruct_volumes_device(self, state: TrainState, vols,
+                                   dropout: bool = False, rngs=None,
+                                   n_valid=None) -> Dict[str, Array]:
+        """K-volume restoration in ONE dispatch (see
+        `VAE_You.reconstruct_volumes_device`).  The GMVAE objective is
+        d(mean loss)/dx over the restoration batch (`trainers/GMVAE.py:
+        94-95`), so each vmapped volume passes its TRUE slice count through
+        ``n_valid`` — zero-padded slices then leave real-slice gradients
+        bit-identical to the unpadded per-volume call."""
+        c = self.config
+        key = ("restore_vols", bool(dropout))
+        if key not in self._reconstruct_jit:
+            def one(vs, v, lam, r, nv):
+                outputs_fn = self._restoration_fn(vs, bool(dropout),
+                                                  n_valid=nv)
+                return restore_inputs(outputs_fn, v, lam,
+                                      c.restore_lr, c.restore_steps, rng=r)
+            self._reconstruct_jit[key] = jax.jit(
+                jax.vmap(one, in_axes=(None, 0, None, 0, 0)))
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        if rngs is None:
+            rngs = jax.random.split(jax.random.key(0), vols.shape[0])
+        if n_valid is None:
+            n_valid = jnp.full((vols.shape[0],), vols.shape[1], jnp.float32)
+        rec = self._reconstruct_jit[key](
+            variables, jnp.asarray(vols),
+            jnp.float32(max(self.tv_lambda_value, 0.0)), rngs,
+            jnp.asarray(n_valid, jnp.float32))
         return {"reconstruction": rec}
 
 

@@ -10,6 +10,14 @@ Parity targets:
     ``L1_vae * |d loss_vae / d x|`` and restoration ``x - lambda * anomaly``.
   * `trainers/VAE_You.py:149-173` — ``determine_best_lambda`` sweep over
     tv_lambda in {0.0,...,1.9}, vectorised on device.
+
+The restoration objective shares ONE model forward between the pixel loss
+and the TV reconstruction term — exactly like the reference graph, where
+`self.reconstruction` feeds both `self.loss` and `self.restore`
+(`trainers/VAE_You.py:36-54`): a single `sess.run` evaluated one forward.
+(An earlier design here closed over two separate forward functions, which
+made XLA trace — and differentiate — the network twice per restoration
+step; fusing them halved the per-step cost at identical math.)
 """
 
 from __future__ import annotations
@@ -25,32 +33,30 @@ from unsupervised_anomaly_detection_brain_mri_tpu.train.losses import (
 
 Array = jnp.ndarray
 
-# pixel_loss_fn(x, rng) -> per-sample loss vector (B,) — closes over params.
-# The rng drives dropout when the trainer restores with MC dropout on
-# (`trainers/VAE_You.py:134` — "apply only during MC sampling"); trainers
-# restoring deterministically simply ignore it.
-PixelLossFn = Callable[[Array, Array], Array]
+# outputs_fn(x, rng) -> (pixel_loss (B,), x_hat (B,H,W,C)) from ONE model
+# forward — closes over params.  The rng drives dropout when the trainer
+# restores with MC dropout on (`trainers/VAE_You.py:134` — "apply only
+# during MC sampling"); trainers restoring deterministically ignore it.
+RestorationFn = Callable[[Array, Array], Tuple[Array, Array]]
 
 
-def restoration_grads(pixel_loss_fn: PixelLossFn,
-                      recon_fn: Callable[[Array, Array], Array],
-                      x: Array, tv_lambda: Array, rng: Array) -> Array:
-    """d(pixel_loss + tv_lambda*TV(x - recon(x))) / dx, like the reference
-    graph `trainers/VAE_You.py:53-54`.  Both forwards receive the SAME rng:
-    in the reference a single ``sess.run`` evaluates the pixel loss and the
-    TV reconstruction with one shared dropout mask."""
+def restoration_grads(outputs_fn: RestorationFn, x: Array,
+                      tv_lambda: Array, rng: Array) -> Array:
+    """d(pixel_loss + tv_lambda*TV(x - x_hat)) / dx, like the reference
+    graph `trainers/VAE_You.py:53-54`.  Both terms come from the SAME
+    forward (and thus one shared dropout mask per step, matching the
+    reference's single ``sess.run``)."""
 
     def total(x_in: Array) -> Array:
-        pixel = pixel_loss_fn(x_in, rng)
-        restore = tv_lambda * total_variation(x_in - recon_fn(x_in, rng))
+        pixel, x_hat = outputs_fn(x_in, rng)
+        restore = tv_lambda * total_variation(x_in - x_hat)
         return jnp.sum(pixel + restore)
 
     return jax.grad(total)(x)
 
 
 def restore_inputs(
-    pixel_loss_fn: PixelLossFn,
-    recon_fn: Callable[[Array, Array], Array],
+    outputs_fn: RestorationFn,
     x: Array,
     tv_lambda: Array,
     restore_lr: float,
@@ -66,7 +72,7 @@ def restore_inputs(
         rng = jax.random.key(0)
 
     def body(i, restored):
-        g = restoration_grads(pixel_loss_fn, recon_fn, restored, tv_lambda,
+        g = restoration_grads(outputs_fn, restored, tv_lambda,
                               jax.random.fold_in(rng, i))
         return restored - restore_lr * g
 
