@@ -14,6 +14,13 @@ feed and per-batch metric fetch (`trainers/AE.py:63-90` crossed the host
 boundary twice per step) in f32.  This isolates the framework design delta
 from hardware differences.
 
+Section ordering is part of the contract: every TRAINER-FAMILY row
+(AE/VAE baseline, AAE + per-update, fAnoGAN both phases, AnoVAEGAN,
+VAE_You/GMVAE restoration, eval pipeline, Pallas median) is measured and
+flushed into the partial-result dict BEFORE any experimental bench
+(fast-mode profile, MFU cost analysis), so a tunnel hang can only cost the
+experimental tail — never a family row.
+
 The remote-TPU tunnel adds large, variable latency and
 ``block_until_ready`` does not wait through it — every timing forces a
 value fetch, and each measurement takes the best of ``TRIALS`` runs.
@@ -93,7 +100,10 @@ def main() -> None:
     )
 
     enable_persistent_compilation_cache()
-    from unsupervised_anomaly_detection_brain_mri_tpu.config import Config
+    from unsupervised_anomaly_detection_brain_mri_tpu.config import (
+        Config,
+        preset,
+    )
     from unsupervised_anomaly_detection_brain_mri_tpu.train import get_trainer
     from unsupervised_anomaly_detection_brain_mri_tpu.train.engine import (
         epoch_indices,
@@ -116,7 +126,9 @@ def main() -> None:
             state_holder[0] = state
         return run
 
-    # ---- TPU-native AE path
+    # ================= family rows (flushed before ANY experimental bench)
+
+    # ---- TPU-native AE path (headline)
     cfg = Config(trainer="AE", model="autoencoder", batchsize=B,
                  outputWidth=H, outputHeight=H, zDim=128, numEpochs=1)
     tr = get_trainer("AE")(cfg)
@@ -133,16 +145,6 @@ def main() -> None:
     if t16 > t4:
         detail["native_ae_slices_per_sec_marginal"] = round(
             12 * n_slices / (t16 - t4), 1)
-
-    # ---- VAE path (BASELINE.md names AE & VAE)
-    vcfg = Config(trainer="VAE", model="variational_autoencoder",
-                  batchsize=B, outputWidth=H, outputHeight=H, zDim=128)
-    vtr = get_trainer("VAE")(vcfg)
-    vholder = [vtr.init_state()]
-    vrun = epoch_runner(vtr, vholder)
-    vrun(1)
-    detail["native_vae_slices_per_sec"] = round(
-        _best_throughput(vrun, n_slices, 4), 1)
 
     # ---- TF1-shaped baseline: per-batch host feed + fetch, f32
     cfg_b = cfg.replace(compute_dtype="float32")
@@ -162,46 +164,24 @@ def main() -> None:
     detail["tf1_shaped_baseline_slices_per_sec"] = round(baseline_sps, 1)
     _partial["vs_baseline"] = round(native_sps / baseline_sps, 2)
 
-    # ---- opt-in NON-PARITY perf mode: s2d stem + d2s decoder head.
-    # The parity decoder materialises a 128x128x128x32 bf16 feature map
-    # (134 MB) each step — the profiled HBM bottleneck; the packed head
-    # computes at half resolution.  Same eval quality on the synthetic
-    # phantom (AUC 0.9365 both, see docs/STATUS.md).
+    # ---- VAE path (BASELINE.md names AE & VAE)
     try:
-        scfg = cfg.replace(spaceToDepthStem=True, depthToSpaceHead=True)
-        stem_tr = get_trainer("AE")(scfg)
-        sholder = [stem_tr.init_state()]
-        srun = epoch_runner(stem_tr, sholder)
-        srun(1)
-        stem_sps = _best_throughput(srun, n_slices, 4)
-        detail["fastmode_ae_slices_per_sec"] = round(stem_sps, 1)
-        detail["fastmode_speedup"] = round(stem_sps / native_sps, 3)
+        vcfg = Config(trainer="VAE", model="variational_autoencoder",
+                      batchsize=B, outputWidth=H, outputHeight=H, zDim=128)
+        vtr = get_trainer("VAE")(vcfg)
+        vholder = [vtr.init_state()]
+        vrun = epoch_runner(vtr, vholder)
+        vrun(1)
+        detail["native_vae_slices_per_sec"] = round(
+            _best_throughput(vrun, n_slices, 4), 1)
     except Exception as e:  # pragma: no cover
-        detail["s2d_bench_error"] = str(e)[:120]
+        detail["vae_bench_error"] = str(e)[:120]
 
-    # ---- MFU of the AE train step (FLOP count from XLA cost analysis)
-    try:
-        idxs0 = jnp.asarray(epoch_indices(host_rng, n_slices, B))
-        # the EpochCompiler caches the jitted whole-epoch scan; lower it
-        jitted_epoch = next(iter(tr._train_compiler._cache.values()))
-        compiled = jitted_epoch.lower(holder[0], pool, idxs0).compile()
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        epoch_flops = float(ca.get("flops", 0.0))
-        dev_kind = jax.devices()[0].device_kind.lower()
-        # per-chip dense peak: v5e 197 TF bf16; v4 275 TF; fallback v5e
-        peak = 197e12 if ("v5" in dev_kind or "lite" in dev_kind) else 275e12
-        if epoch_flops > 0:
-            detail["ae_train_epoch_gflops"] = round(epoch_flops / 1e9, 1)
-            detail["ae_mfu_pct"] = round(
-                100.0 * epoch_flops * native_sps / n_slices / peak, 2)
-            detail["mfu_flop_model"] = (
-                "XLA cost_analysis flops of the whole-epoch jitted scan / "
-                f"measured epoch time; peak={peak / 1e12:.0f}e12 ({dev_kind})")
-    except Exception as e:  # pragma: no cover
-        detail["mfu_error"] = str(e)[:120]
-
-    # ---- one GAN step (AAE: WGAN-GP latent critic + AE step)
+    # ---- AAE (WGAN-GP latent critic), plus the per-model-update
+    # comparison against AE: the parity schedule runs 41 updates/batch at
+    # epoch<=5 (AE x20 + critic x20 + generator x1, `trainers/AAE.py:
+    # 85-131`) vs AE's single update, so aggregate slices/s alone can't
+    # show whether the GAN step is efficient per update.
     try:
         gcfg = Config(trainer="AAE", model="adversarial_autoencoder",
                       batchsize=B, outputWidth=H, outputHeight=H, zDim=128,
@@ -210,10 +190,122 @@ def main() -> None:
         gholder = [gtr.init_state()]
         grun = epoch_runner(gtr, gholder)
         grun(1)
-        detail["aae_train_slices_per_sec"] = round(
-            _best_throughput(grun, n_slices, 2), 1)
+        aae_sps = _best_throughput(grun, n_slices, 2)
+        detail["aae_train_slices_per_sec"] = round(aae_sps, 1)
+        aae_updates_per_batch = 2 * gtr.d_iters + 1  # epoch 0: 20+20+1
+        detail["ae_ms_per_update"] = round(1e3 * B / native_sps, 3)
+        detail["aae_ms_per_update"] = round(
+            1e3 * B / aae_sps / aae_updates_per_batch, 3)
+        detail["aae_per_update_vs_ae"] = round(
+            (B / aae_sps / aae_updates_per_batch) / (B / native_sps), 3)
     except Exception as e:  # pragma: no cover
         detail["gan_bench_error"] = str(e)[:120]
+
+    # ---- fAnoGAN two-phase training (the most schedule-complex trainer:
+    # phase 1 WGAN-GP with 5 critic iters/batch incl. grad-of-grad GP,
+    # phase 2 izif encoder; `trainers/fAnoGAN.py:87-210`) and AnoVAEGAN
+    # (VAE + image WGAN-GP critic; `trainers/AnoVAEGAN.py:95-160`).
+    # Parity batch size 8 (mains presets); smaller pool bounds runtime.
+    try:
+        n_gan = 256
+        gan_pool = {"x": jnp.asarray(pool_np[:n_gan])}
+
+        def gan_epoch_runner(trainer, state_holder, **static):
+            def run(n_epochs: int):
+                state = state_holder[0]
+                for _ in range(n_epochs):
+                    idxs = jnp.asarray(epoch_indices(
+                        host_rng, n_gan, trainer.config.batchsize))
+                    state, m = trainer._train_compiler(
+                        state, gan_pool, idxs, **static)
+                _ = float(jax.tree_util.tree_leaves(m)[0])
+                state_holder[0] = state
+            return run
+
+        fcfg = preset("fAnoGAN", numEpochs=1)
+        ftr = get_trainer("fAnoGAN")(fcfg)
+        fholder = [ftr.init_state()]
+        frun1 = gan_epoch_runner(ftr, fholder, phase2=False)
+        frun1(1)
+        detail["fanogan_wgan_slices_per_sec"] = round(
+            _best_throughput(frun1, n_gan, 1), 1)
+        frun2 = gan_epoch_runner(ftr, fholder, phase2=True)
+        frun2(1)
+        detail["fanogan_encoder_slices_per_sec"] = round(
+            _best_throughput(frun2, n_gan, 1), 1)
+
+        acfg = preset("AnoVAEGAN", numEpochs=1)
+        atr = get_trainer("AnoVAEGAN")(acfg)
+        aholder = [atr.init_state()]
+        arun = gan_epoch_runner(atr, aholder)
+        arun(1)
+        detail["anovaegan_slices_per_sec"] = round(
+            _best_throughput(arun, n_gan, 1), 1)
+    except Exception as e:  # pragma: no cover
+        detail["fanogan_bench_error"] = str(e)[:120]
+
+    # ---- VAE_You 150-step input-gradient restoration: single volume AND
+    # the cross-volume batched path the eval driver uses
+    # (Options.restorationVolumeBatch, vmapped restoration loop)
+    try:
+        ycfg = Config(trainer="VAE_You", model="variational_autoencoder",
+                      batchsize=B, outputWidth=H, outputHeight=H, zDim=128,
+                      restore_steps=150, tv_lambda=1.0)
+        ytr = get_trainer("VAE_You")(ycfg)
+        ystate = ytr.init_state()
+        yvol = jnp.asarray(host_rng.uniform(
+            0, 1, (112, H, H, 1)).astype(np.float32))
+        r = ytr.reconstruct(ystate, yvol)  # compile
+        _ = float(np.asarray(r["reconstruction"]).sum())
+
+        def run_restore(n: int):
+            for _ in range(n):
+                rr = ytr.reconstruct(ystate, yvol)
+            _ = float(np.asarray(rr["reconstruction"]).sum())
+
+        single_vps = _best_throughput(run_restore, 1, 2)
+        detail["vae_you_restoration_volumes_per_sec"] = round(single_vps, 3)
+
+        KV = 4
+        yvols = jnp.asarray(host_rng.uniform(
+            0, 1, (KV, 112, H, H, 1)).astype(np.float32))
+        rb = ytr.reconstruct_volumes_device(ystate, yvols)  # compile
+        _ = float(jnp.sum(rb["reconstruction"][:, :2, :2, :2]))
+
+        def run_restore_batched(n: int):
+            for _ in range(n):
+                rb = ytr.reconstruct_volumes_device(ystate, yvols)
+            _ = float(jnp.sum(rb["reconstruction"][:, :2, :2, :2]))
+
+        batched_vps = _best_throughput(run_restore_batched, KV, 2)
+        detail["vae_you_restoration_batched_volumes_per_sec"] = round(
+            batched_vps, 3)
+        detail["restoration_batched_speedup"] = round(
+            batched_vps / single_vps, 2)
+    except Exception as e:  # pragma: no cover
+        detail["restoration_bench_error"] = str(e)[:120]
+
+    # ---- GMVAE_spatial 150-step restoration eval (the reference's other
+    # restoration hot loop, `trainers/GMVAE.py:166-197`; preset restore
+    # steps 150 for the spatial variant)
+    try:
+        gmcfg = preset("GMVAE_spatial", numEpochs=1)
+        gmtr = get_trainer("GMVAE_spatial")(gmcfg)
+        gmstate = gmtr.init_state()
+        gvol = jnp.asarray(host_rng.uniform(
+            0, 1, (112, H, H, 1)).astype(np.float32))
+        rr = gmtr.reconstruct(gmstate, gvol)  # compile
+        _ = float(np.asarray(rr["reconstruction"]).sum())
+
+        def run_gm(n: int):
+            for _ in range(n):
+                rr = gmtr.reconstruct(gmstate, gvol)
+            _ = float(np.asarray(rr["reconstruction"]).sum())
+
+        detail["gmvae_restoration_volumes_per_sec"] = round(
+            _best_throughput(run_gm, 1, 2), 3)
+    except Exception as e:  # pragma: no cover
+        detail["gmvae_bench_error"] = str(e)[:120]
 
     # ---- Pallas vs XLA 5^3 median filter on a 112-slice volume
     from unsupervised_anomaly_detection_brain_mri_tpu.ops.pallas_median import (
@@ -247,10 +339,11 @@ def main() -> None:
     except Exception as e:  # pragma: no cover - keep the headline metric
         detail["median_bench_error"] = str(e)[:120]
 
-    # (A fully-fused residual->mask->prior->median Pallas kernel was
-    # built, proven bit-exact, benched at 112/448/1550/3875-slice scales
-    # — 1.00-1.02x vs masking + `median_filter_3d_auto` — and deleted
-    # per that measurement: the bisection median dominates the cost.)
+    # (A fully-fused residual->mask->prior->median Pallas kernel and a
+    # fused Pallas decoder last stage were each built, proven bit-exact,
+    # benched on hardware, and DELETED per those measurements: the
+    # bisection median dominates the postprocess cost, and the production
+    # ConvT path beats the fused decoder end-to-end.  See docs/STATUS.md.)
 
     # ---- full on-device eval post-processing wall-clock (warm):
     # residual -> erosion-masked -> prior -> median -> curve summary -> CC
@@ -295,109 +388,46 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         detail["eval_bench_error"] = str(e)[:120]
 
-    # ---- VAE_You 150-step input-gradient restoration (volumes/sec)
+    # ============ experimental tail (everything above already flushed)
+
+    # ---- opt-in NON-PARITY perf mode (--tpu-fast): s2d stem + d2s head.
+    # The parity decoder materialises a 128x128x128x32 bf16 feature map
+    # (134 MB) each step — the profiled HBM bottleneck; the packed head
+    # computes at half resolution.  Quality validated against the
+    # 18-preset scoreboard (examples/scoreboard_expected.json tolerances).
     try:
-        ycfg = Config(trainer="VAE_You", model="variational_autoencoder",
-                      batchsize=B, outputWidth=H, outputHeight=H, zDim=128,
-                      restore_steps=150, tv_lambda=1.0)
-        ytr = get_trainer("VAE_You")(ycfg)
-        ystate = ytr.init_state()
-        yvol = jnp.asarray(host_rng.uniform(
-            0, 1, (112, H, H, 1)).astype(np.float32))
-        r = ytr.reconstruct(ystate, yvol)  # compile
-        _ = float(np.asarray(r["reconstruction"]).sum())
-
-        def run_restore(n: int):
-            for _ in range(n):
-                rr = ytr.reconstruct(ystate, yvol)
-            _ = float(np.asarray(rr["reconstruction"]).sum())
-
-        detail["vae_you_restoration_volumes_per_sec"] = round(
-            _best_throughput(run_restore, 1, 2), 3)
+        scfg = cfg.replace(spaceToDepthStem=True, depthToSpaceHead=True)
+        stem_tr = get_trainer("AE")(scfg)
+        sholder = [stem_tr.init_state()]
+        srun = epoch_runner(stem_tr, sholder)
+        srun(1)
+        stem_sps = _best_throughput(srun, n_slices, 4)
+        detail["fastmode_ae_slices_per_sec"] = round(stem_sps, 1)
+        detail["fastmode_speedup"] = round(stem_sps / native_sps, 3)
     except Exception as e:  # pragma: no cover
-        detail["restoration_bench_error"] = str(e)[:120]
+        detail["s2d_bench_error"] = str(e)[:120]
 
-    # ---- PARITY-PRESERVING fused decoder stage (ops/pallas_decoder.py):
-    # same math/params as the parity path, Pallas kernels cross the big
-    # feature map 2+2x instead of XLA's ~3+5x
+    # ---- MFU of the AE train step (FLOP count from XLA cost analysis)
     try:
-        fhcfg = cfg.replace(fusedDecoderHead=True)
-        fh_tr = get_trainer("AE")(fhcfg)
-        fh_holder = [fh_tr.init_state()]
-        fh_run = epoch_runner(fh_tr, fh_holder)
-        fh_run(1)
-        fh_sps = _best_throughput(fh_run, n_slices, 4)
-        detail["fusedhead_ae_slices_per_sec"] = round(fh_sps, 1)
-        detail["fusedhead_speedup"] = round(fh_sps / native_sps, 3)
+        idxs0 = jnp.asarray(epoch_indices(host_rng, n_slices, B))
+        # the EpochCompiler caches the jitted whole-epoch scan; lower it
+        jitted_epoch = next(iter(tr._train_compiler._cache.values()))
+        compiled = jitted_epoch.lower(holder[0], pool, idxs0).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        epoch_flops = float(ca.get("flops", 0.0))
+        dev_kind = jax.devices()[0].device_kind.lower()
+        # per-chip dense peak: v5e 197 TF bf16; v4 275 TF; fallback v5e
+        peak = 197e12 if ("v5" in dev_kind or "lite" in dev_kind) else 275e12
+        if epoch_flops > 0:
+            detail["ae_train_epoch_gflops"] = round(epoch_flops / 1e9, 1)
+            detail["ae_mfu_pct"] = round(
+                100.0 * epoch_flops * native_sps / n_slices / peak, 2)
+            detail["mfu_flop_model"] = (
+                "XLA cost_analysis flops of the whole-epoch jitted scan / "
+                f"measured epoch time; peak={peak / 1e12:.0f}e12 ({dev_kind})")
     except Exception as e:  # pragma: no cover
-        detail["fusedhead_bench_error"] = str(e)[:200]
-
-    # ---- fAnoGAN two-phase training (the most schedule-complex trainer:
-    # phase 1 WGAN-GP with 5 critic iters/batch incl. grad-of-grad GP,
-    # phase 2 izif encoder; `trainers/fAnoGAN.py:87-210`) and AnoVAEGAN
-    # (VAE + image WGAN-GP critic; `trainers/AnoVAEGAN.py:95-160`).
-    # Parity batch size 8 (mains presets); smaller pool bounds runtime.
-    try:
-        from unsupervised_anomaly_detection_brain_mri_tpu.config import preset
-
-        n_gan = 256
-        gan_pool = {"x": jnp.asarray(pool_np[:n_gan])}
-
-        def gan_epoch_runner(trainer, state_holder, **static):
-            def run(n_epochs: int):
-                state = state_holder[0]
-                for _ in range(n_epochs):
-                    idxs = jnp.asarray(epoch_indices(
-                        host_rng, n_gan, trainer.config.batchsize))
-                    state, m = trainer._train_compiler(
-                        state, gan_pool, idxs, **static)
-                _ = float(jax.tree_util.tree_leaves(m)[0])
-                state_holder[0] = state
-            return run
-
-        fcfg = preset("fAnoGAN", numEpochs=1)
-        ftr = get_trainer("fAnoGAN")(fcfg)
-        fholder = [ftr.init_state()]
-        frun1 = gan_epoch_runner(ftr, fholder, phase2=False)
-        frun1(1)
-        detail["fanogan_wgan_slices_per_sec"] = round(
-            _best_throughput(frun1, n_gan, 1), 1)
-        frun2 = gan_epoch_runner(ftr, fholder, phase2=True)
-        frun2(1)
-        detail["fanogan_encoder_slices_per_sec"] = round(
-            _best_throughput(frun2, n_gan, 1), 1)
-
-        acfg = preset("AnoVAEGAN", numEpochs=1)
-        atr = get_trainer("AnoVAEGAN")(acfg)
-        aholder = [atr.init_state()]
-        arun = gan_epoch_runner(atr, aholder)
-        arun(1)
-        detail["anovaegan_slices_per_sec"] = round(
-            _best_throughput(arun, n_gan, 1), 1)
-    except Exception as e:  # pragma: no cover
-        detail["fanogan_bench_error"] = str(e)[:120]
-
-    # ---- GMVAE_spatial 150-step restoration eval (the reference's other
-    # restoration hot loop, `trainers/GMVAE.py:166-197`; preset restore
-    # steps 150 for the spatial variant)
-    try:
-        gmcfg = preset("GMVAE_spatial", numEpochs=1)
-        gmtr = get_trainer("GMVAE_spatial")(gmcfg)
-        gmstate = gmtr.init_state()
-        gvol = jnp.asarray(host_rng.uniform(
-            0, 1, (112, H, H, 1)).astype(np.float32))
-        rr = gmtr.reconstruct(gmstate, gvol)  # compile
-        _ = float(np.asarray(rr["reconstruction"]).sum())
-
-        def run_gm(n: int):
-            for _ in range(n):
-                rr = gmtr.reconstruct(gmstate, gvol)
-            _ = float(np.asarray(rr["reconstruction"]).sum())
-
-        detail["gmvae_restoration_volumes_per_sec"] = round(
-            _best_throughput(run_gm, 1, 2), 3)
-    except Exception as e:  # pragma: no cover
-        detail["gmvae_bench_error"] = str(e)[:120]
+        detail["mfu_error"] = str(e)[:120]
 
     signal.alarm(0)
     if not _reported.is_set():

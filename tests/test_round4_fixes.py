@@ -91,6 +91,23 @@ def test_gmvae_batched_restoration_matches_sequential_with_padding():
             np.asarray(bat[k, : v.shape[0]]), seq[k], rtol=2e-4, atol=1e-5)
 
 
+def test_log_every_n_batches_streams_from_jitted_epoch(synth_dataset,
+                                                       capsys):
+    """--log-every-n parity option (`trainers/AE.py:86`): per-batch metric
+    lines stream from inside the jitted epoch scan via an async debug
+    callback."""
+    import jax as _jax
+
+    from unsupervised_anomaly_detection_brain_mri_tpu.config import Options
+
+    tr = get_trainer("AE")(_cfg("AE", "autoencoder", numEpochs=1),
+                           options=Options(logEveryNBatches=2))
+    tr.fit(synth_dataset)
+    _jax.effects_barrier()
+    out = capsys.readouterr().out
+    assert "batch [" in out and "loss:" in out
+
+
 def test_evaluate_batched_restoration_matches_sequential(
         synth_lesion_dataset):
     """The eval driver with restorationVolumeBatch>1 must produce the same

@@ -177,10 +177,17 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--d2s-head", action="store_true",
                    help="opt-in NON-PARITY depth-to-space decoder head "
                         "(Config.depthToSpaceHead)")
-    p.add_argument("--fused-head", action="store_true",
-                   help="opt-in PARITY-PRESERVING fused decoder last "
-                        "stage via Pallas (Config.fusedDecoderHead; same "
-                        "math and checkpoints as the standard path)")
+    p.add_argument("--tpu-fast", action="store_true",
+                   help="validated TPU perf profile: enables the "
+                        "space-to-depth stem AND the depth-to-space head "
+                        "(equivalent to --s2d-stem --d2s-head; NON-PARITY "
+                        "architecture, quality validated against the "
+                        "18-preset scoreboard — see README)")
+    p.add_argument("--log-every-n", default=0, type=int,
+                   help="print every n-th batch's metrics from inside the "
+                        "jitted epoch (async callback; parity with the "
+                        "reference's per-batch console logs, "
+                        "trainers/AE.py:86).  0 = per-epoch means only")
     p.add_argument("--preset", default=None, type=str,
                    help="experiment preset name (mains/ parity)")
     p.add_argument("--workdir", default=None, type=str)
@@ -452,9 +459,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         c_lambda=args.c_lambda, restore_lr=args.restore_lr,
         restore_steps=args.restore_steps, tv_lambda=args.tv_lambda,
         use_gradient_based_restoration=args.use_gradient_based_restoration,
-        spaceToDepthStem=args.s2d_stem,
-        depthToSpaceHead=args.d2s_head,
-        fusedDecoderHead=args.fused_head,
+        spaceToDepthStem=args.s2d_stem or args.tpu_fast,
+        depthToSpaceHead=args.d2s_head or args.tpu_fast,
         mesh=MeshConfig(data=args.mesh_data),
     )
     if args.preset:
@@ -471,11 +477,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         config = config.replace(
             **{k: v for k, v in overrides.items() if k in keep})
         # non-architecture flags always apply
-        config = config.replace(compute_dtype=args.precision,
-                                spaceToDepthStem=args.s2d_stem,
-                                depthToSpaceHead=args.d2s_head,
-                                fusedDecoderHead=args.fused_head,
-                                mesh=MeshConfig(data=args.mesh_data))
+        config = config.replace(
+            compute_dtype=args.precision,
+            spaceToDepthStem=args.s2d_stem or args.tpu_fast,
+            depthToSpaceHead=args.d2s_head or args.tpu_fast,
+            mesh=MeshConfig(data=args.mesh_data))
     else:
         config = Config().replace(**overrides)
     options = Options(paths=paths, sliceStart=args.slices_start,
@@ -486,7 +492,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                       # (`utils/Evaluation.py:87`); scale with resolution so
                       # small smoke-run images keep a usable brain area
                       erosionIterations=max(
-                          1, (12 * args.outputWidth) // 128))
+                          1, (12 * args.outputWidth) // 128),
+                      logEveryNBatches=args.log_every_n)
 
     train_ds_kind = Dataset.SYNTH if args.synthetic else Dataset.BRAINWEB
     dataset_hc = build_dataset(options, config, train_ds_kind, "healthy")

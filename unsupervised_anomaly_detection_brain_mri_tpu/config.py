@@ -131,11 +131,6 @@ class Config:
     # ConvT stage + 1x1 head with Conv(3x3, 4*C_out) at half resolution +
     # depth-to-space — removes the train step's dominant HBM traffic.
     depthToSpaceHead: bool = False
-    # opt-in PARITY-PRESERVING perf: compute the decoder's last stage
-    # (same math, same parameter tree, shared checkpoints) through the
-    # fused Pallas kernels in ops/pallas_decoder.py — 2+2 HBM passes over
-    # the big feature map instead of XLA's ~3+5.
-    fusedDecoderHead: bool = False
 
     # early stopping (AEMODEL.indicate_early_stopping parity: patience 5)
     earlyStoppingPatience: int = 5
@@ -269,6 +264,10 @@ class Options:
     # logging / profiling
     tensorboard: bool = False
     profileDir: Optional[str] = None  # jax.profiler trace of the first epoch
+    # opt-in per-batch console logging from inside the jitted epoch scan
+    # (async debug callback) — parity with the reference's per-batch prints
+    # (`trainers/AE.py:86`); 0 keeps the epoch program callback-free
+    logEveryNBatches: int = 0
 
     def replace(self, **kw: Any) -> "Options":
         return dataclasses.replace(self, **kw)

@@ -50,7 +50,6 @@ class _AAECore(nn.Module):
     with_discriminator: bool = True
     space_to_depth_stem: bool = False
     depth_to_space_head: bool = False
-    fused_decoder_head: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -61,7 +60,6 @@ class _AAECore(nn.Module):
         self.decoder = UnifiedDecoder(
             self.image_size, self.channels, self.intermediate_resolution,
             depth_to_space_head=self.depth_to_space_head,
-            fused_decoder_head=self.fused_decoder_head,
             dtype=self.dtype, name="decoder")
         # channel count after the unified encoder
         n = int(math.log2(self.image_size)
@@ -167,7 +165,6 @@ class ConstrainedAutoencoder(nn.Module):
     dropout_rate: float = 0.1
     space_to_depth_stem: bool = False
     depth_to_space_head: bool = False
-    fused_decoder_head: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -179,7 +176,6 @@ class ConstrainedAutoencoder(nn.Module):
             with_discriminator=False,
             space_to_depth_stem=self.space_to_depth_stem,
             depth_to_space_head=self.depth_to_space_head,
-            fused_decoder_head=self.fused_decoder_head,
             dtype=self.dtype, name="core")
 
     def __call__(

@@ -31,7 +31,6 @@ class Autoencoder(nn.Module):
     dropout_rate: float = 0.2
     space_to_depth_stem: bool = False
     depth_to_space_head: bool = False
-    fused_decoder_head: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -50,7 +49,6 @@ class Autoencoder(nn.Module):
             self.channels,
             self.intermediate_resolution,
             depth_to_space_head=self.depth_to_space_head,
-            fused_decoder_head=self.fused_decoder_head,
             dtype=self.dtype,
         )
 
@@ -74,7 +72,6 @@ class AutoencoderSpatial(nn.Module):
     dropout_rate: float = 0.2
     space_to_depth_stem: bool = False
     depth_to_space_head: bool = False
-    fused_decoder_head: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -87,7 +84,6 @@ class AutoencoderSpatial(nn.Module):
             self.channels,
             self.intermediate_resolution,
             depth_to_space_head=self.depth_to_space_head,
-            fused_decoder_head=self.fused_decoder_head,
             dtype=self.dtype,
         )
         self.drop = nn.Dropout(self.dropout_rate)

@@ -39,7 +39,6 @@ class AnoVAEGAN(nn.Module):
     dropout_rate: float = 0.1
     space_to_depth_stem: bool = False
     depth_to_space_head: bool = False
-    fused_decoder_head: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -69,7 +68,6 @@ class AnoVAEGAN(nn.Module):
             self.image_size, self.channels, self.intermediate_resolution,
             use_batchnorm=False,
             depth_to_space_head=self.depth_to_space_head,
-            fused_decoder_head=self.fused_decoder_head,
             dtype=self.dtype, name="generator")
         self.disc_features = UnifiedEncoder(
             self.image_size, self.intermediate_resolution,

@@ -156,79 +156,6 @@ def depth_to_space(x: Array, block: int = 2) -> Array:
     return x.reshape(B, H * block, W * block, c)
 
 
-class _ConvTParams(nn.Module):
-    """Parameter-only twin of ``nn.ConvTranspose(5x5)`` — same param names
-    and initialisers, so the fused decoder stage shares checkpoints with
-    the standard path."""
-
-    features: int
-    in_features: int
-
-    @nn.compact
-    def __call__(self):
-        k = self.param("kernel", conv_init,
-                       (5, 5, self.in_features, self.features))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return k, b
-
-
-class _ConvHeadParams(nn.Module):
-    """Parameter-only twin of the 1x1 ``nn.Conv`` output head."""
-
-    features: int
-    in_features: int
-
-    @nn.compact
-    def __call__(self):
-        k = self.param("kernel", conv_init,
-                       (1, 1, self.in_features, self.features))
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return k, b
-
-
-class _BNCore(nn.Module):
-    """See `_BNParams`."""
-
-    features: int
-    momentum: float = BN_MOMENTUM
-
-    @nn.compact
-    def __call__(self, stats=None):
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        ra_mean = self.variable(
-            "batch_stats", "mean",
-            lambda: jnp.zeros((self.features,), jnp.float32))
-        ra_var = self.variable(
-            "batch_stats", "var",
-            lambda: jnp.ones((self.features,), jnp.float32))
-        if (stats is not None and not self.is_initializing()
-                and self.is_mutable_collection("batch_stats")):
-            m, v = stats
-            ra_mean.value = (self.momentum * ra_mean.value
-                             + (1.0 - self.momentum) * m)
-            ra_var.value = (self.momentum * ra_var.value
-                            + (1.0 - self.momentum) * v)
-        return scale, bias, ra_mean.value, ra_var.value
-
-
-class _BNParams(nn.Module):
-    """Parameter/stats twin of ``Norm``-wrapped ``nn.BatchNorm`` for the
-    fused stage: the stage computes the batch statistics itself; this
-    module owns the scale/bias params and the running-average variables
-    (nested under ``BatchNorm_0`` exactly like the standard ``Norm``
-    path, so checkpoints stay interchangeable) and applies the same
-    momentum update flax's BatchNorm would."""
-
-    features: int
-    momentum: float = BN_MOMENTUM
-
-    @nn.compact
-    def __call__(self, stats=None):
-        return _BNCore(self.features, self.momentum,
-                       name="BatchNorm_0")(stats)
-
-
 class UnifiedDecoder(nn.Module):
     """Mirrored transposed-conv pyramid up to ``output_width``.
 
@@ -242,14 +169,12 @@ class UnifiedDecoder(nn.Module):
     packed head computes everything at half resolution and writes only the
     C_out-channel output.  Behind ``Config.depthToSpaceHead``.
 
-    ``fused_decoder_head`` (opt-in, PARITY-PRESERVING): computes the SAME
-    last stage (identical math, identical parameter tree, shared
-    checkpoints) through the fused Pallas kernels in
-    `ops/pallas_decoder.py`, which cross the big feature map twice
-    forward and twice backward instead of XLA's ~3 + ~5 passes.  Only
-    active for BatchNorm decoders in train mode; eval uses the running
-    statistics through the same functional stage.  Behind
-    ``Config.fusedDecoderHead``.
+    (A PARITY-PRESERVING fused Pallas last stage with in-pass BN statistics
+    and a custom-VJP backward also lived here; it was measured on TPU v5e at
+    0.41x end-to-end vs the production ConvT path — the XLA composition it
+    beat in isolation is not the composition XLA emits in context — and was
+    deleted per that measurement, like the fused postprocess kernel.  The
+    full campaign is recorded in docs/STATUS.md.)
     """
 
     output_width: int
@@ -258,7 +183,6 @@ class UnifiedDecoder(nn.Module):
     use_batchnorm: bool = True
     final_activation: Optional[Callable[[Array], Array]] = None
     depth_to_space_head: bool = False
-    fused_decoder_head: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -269,13 +193,7 @@ class UnifiedDecoder(nn.Module):
         )
         x = nn.relu(x)
         packed_head = self.depth_to_space_head and n > 0
-        # the Pallas backward packs the head gradient per ConvT phase and
-        # assumes a single head channel (ops/pallas_decoder.py `_bwd1`),
-        # so the fused path only engages for output_channels == 1
-        fused_head = (self.fused_decoder_head and not packed_head
-                      and self.use_batchnorm and n > 0
-                      and self.output_channels == 1)
-        n_convt = n - 1 if (packed_head or fused_head) else n
+        n_convt = n - 1 if packed_head else n
         for i in range(n_convt):
             filters = int(max(32, 128 // (2 ** i)))
             x = nn.ConvTranspose(
@@ -291,38 +209,7 @@ class UnifiedDecoder(nn.Module):
                 x, train=train
             )
             x = leaky_relu(x)
-        if fused_head:
-            from unsupervised_anomaly_detection_brain_mri_tpu.ops.decoder_stage import (
-                decoder_stage_eval,
-                decoder_stage_reference,
-            )
-            from unsupervised_anomaly_detection_brain_mri_tpu.ops.pallas_decoder import (
-                fused_decoder_stage,
-            )
-
-            i = n - 1
-            filters = int(max(32, 128 // (2 ** i)))
-            wt, bt = _ConvTParams(filters, x.shape[-1],
-                                  name=f"dec_convT_{i}")()
-            bn = _BNParams(filters, name=f"dec_norm_{i}")
-            gamma, beta, ra_mean, ra_var = bn(None)
-            wh, bh = _ConvHeadParams(self.output_channels, filters,
-                                     name="dec_conv_final")()
-            dt = self.dtype or x.dtype
-            xin = x.astype(dt)
-            wh2 = wh[0, 0]
-            if train:
-                stage = (fused_decoder_stage
-                         if jax.default_backend() == "tpu"
-                         else decoder_stage_reference)
-                x, m, v = stage(xin, wt.astype(dt), bt, gamma, beta,
-                                wh2.astype(dt), bh)
-                bn((m, v))
-            else:
-                x = decoder_stage_eval(xin, wt.astype(dt), bt, gamma,
-                                       beta, wh2.astype(dt), bh,
-                                       ra_mean, ra_var)
-        elif packed_head:
+        if packed_head:
             x = nn.Conv(
                 4 * self.output_channels,
                 kernel_size=(3, 3),

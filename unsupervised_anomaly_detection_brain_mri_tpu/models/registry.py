@@ -58,9 +58,6 @@ def _std(cls):
         if ("depth_to_space_head" in fields
                 and getattr(config, "depthToSpaceHead", False)):
             kwargs["depth_to_space_head"] = True
-        if ("fused_decoder_head" in fields
-                and getattr(config, "fusedDecoderHead", False)):
-            kwargs["fused_decoder_head"] = True
         return cls(**kwargs)
 
     return build

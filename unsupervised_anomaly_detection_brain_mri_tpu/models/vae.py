@@ -86,7 +86,6 @@ class VariationalAutoencoder(nn.Module):
     dropout_rate: float = 0.1
     space_to_depth_stem: bool = False
     depth_to_space_head: bool = False
-    fused_decoder_head: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -98,7 +97,6 @@ class VariationalAutoencoder(nn.Module):
         self.decoder = UnifiedDecoder(
             self.image_size, self.channels, self.intermediate_resolution,
             depth_to_space_head=self.depth_to_space_head,
-            fused_decoder_head=self.fused_decoder_head,
             dtype=self.dtype,
         )
 

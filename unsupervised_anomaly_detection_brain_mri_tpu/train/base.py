@@ -74,20 +74,15 @@ class BaseTrainer:
         mesh: Optional[MeshContext] = None,
         workdir: Optional[str] = None,
     ) -> None:
-        if mesh is not None and getattr(config, "fusedDecoderHead", False):
-            # Mosaic kernels are not auto-partitionable by XLA SPMD; the
-            # fused stage would see a sharded operand under the mesh.
-            # Fall back to the (numerically identical) standard path.
-            print("fusedDecoderHead is single-device only; disabling it "
-                  "under the device mesh (same math either way)")
-            config = config.replace(fusedDecoderHead=False)
         self.config = config
         self.options = options or Options()
         self.mesh = mesh
         self.workdir = workdir
         self.dtype = _dtype_of(config.compute_dtype)
         self.model, self.spec = get_model(config, self.dtype)
-        self._train_compiler = EpochCompiler(self._build_train_step, mesh)
+        self._train_compiler = EpochCompiler(
+            self._build_train_step, mesh,
+            log_every_n=int(getattr(self.options, "logEveryNBatches", 0)))
         self._val_compiler = EpochCompiler(self._build_val_step, mesh)
         self._reconstruct_jit: Dict[Any, Callable] = {}
         self.history: List[Dict[str, float]] = []

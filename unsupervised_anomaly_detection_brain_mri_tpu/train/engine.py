@@ -39,16 +39,29 @@ class EpochCompiler:
     """Caches jitted epoch functions keyed by static step arguments.
 
     ``step_builder(**static)`` must return a pure ``step(state, batch)``.
+
+    ``log_every_n`` > 0 streams every n-th batch's metrics to the console
+    from INSIDE the jitted scan via an async ``jax.debug.callback`` —
+    opt-in parity with the reference's per-batch prints
+    (`trainers/AE.py:86`); the default epoch program stays callback-free.
     """
 
     step_builder: Callable[..., StepFn]
     mesh: Optional[MeshContext] = None
+    log_every_n: int = 0
 
     def __post_init__(self) -> None:
         self._cache: Dict[Any, Callable] = {}
 
     def _build(self, static_key: Tuple) -> Callable:
         step = self.step_builder(**dict(static_key))
+        every = int(self.log_every_n)
+
+        def _host_log(step_no, metrics):  # pragma: no cover - host print
+            if int(step_no) % every == 0:
+                msg = " ".join(f"{k}: {float(v):.6f}"
+                               for k, v in sorted(metrics.items()))
+                print(f"  batch [{int(step_no):6d}] {msg}", flush=True)
 
         def epoch(state: TrainState, pool: Batch, idxs: Array):
             def body(state, batch_idx):
@@ -58,7 +71,10 @@ class EpochCompiler:
                     batch = jax.tree_util.tree_map(
                         lambda a: jax.lax.with_sharding_constraint(a, sh),
                         batch)
-                return step(state, batch)
+                state, metrics = step(state, batch)
+                if every > 0:
+                    jax.debug.callback(_host_log, state.step, metrics)
+                return state, metrics
 
             state, metrics = jax.lax.scan(body, state, idxs)
             return state, jax.tree_util.tree_map(jnp.mean, metrics)

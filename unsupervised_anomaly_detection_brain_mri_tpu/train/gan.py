@@ -65,6 +65,27 @@ def masked_adam(config, pred) -> optax.GradientTransformation:
     )
 
 
+def group_value_and_grad(loss_fn, params, pred):
+    """``value_and_grad(has_aux=True)`` restricted to the parameter group
+    selected by ``pred``: every other leaf enters the loss through
+    ``stop_gradient``, so the substep's backward pass covers ONLY the
+    group's subgraph.  The reference computed gradients only for each
+    scope's ``var_list`` (`trainers/AAE.py:60-68`); differentiating the
+    full tree and masking afterwards paid the whole model's backward on
+    every critic substep — at 20 critic iters/batch that was most of the
+    step.  Returns full-tree grads with zeros outside the group, exactly
+    what the masked optimizers expect."""
+    mask = path_mask(pred)(params)
+
+    def wrapped(p):
+        frozen = jax.tree_util.tree_map(
+            lambda leaf, m: leaf if m else jax.lax.stop_gradient(leaf),
+            p, mask)
+        return loss_fn(frozen)
+
+    return jax.value_and_grad(wrapped, has_aux=True)(params)
+
+
 class AdversarialTrainerBase(BaseTrainer):
     """Shared machinery for latent-critic AAE-family trainers."""
 
@@ -219,8 +240,8 @@ class AAE(AdversarialTrainerBase):
                 def loss_fn(p):
                     return self._disc_loss(p, bs, sub, batch, z)
 
-                (dl, new_bs), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params)
+                (dl, new_bs), grads = group_value_and_grad(
+                    loss_fn, params, self.disc_pred)
                 updates, opt_d = opts["disc"].update(grads, opt_d, params)
                 return (optax.apply_updates(params, updates), new_bs, opt_d,
                         rng, dl)
@@ -236,8 +257,8 @@ class AAE(AdversarialTrainerBase):
             def gen_fn(p):
                 return self._gen_loss(p, bs, sub, batch)
 
-            (gl, bs), grads = jax.value_and_grad(
-                gen_fn, has_aux=True)(params)
+            (gl, bs), grads = group_value_and_grad(
+                gen_fn, params, self.gen_pred)
             updates, opt_states["gen"] = opts["gen"].update(
                 grads, opt_states["gen"], params)
             params = optax.apply_updates(params, updates)
@@ -340,8 +361,9 @@ class AnoVAEGAN(AdversarialTrainerBase):
                 losses = self.vae_losses(outputs, batch)
                 return losses["enc_loss"], (losses, new_bs)
 
-            (_, (metrics, bs)), grads = jax.value_and_grad(
-                vae_fn, has_aux=True)(params)
+            (_, (metrics, bs)), grads = group_value_and_grad(
+                vae_fn, params,
+                lambda ks: self.enc_pred(ks) or self.gen_pred(ks))
             updates, opt_states["vae"] = opts["vae"].update(
                 grads, opt_states["vae"], params)
             params = optax.apply_updates(params, updates)
@@ -353,8 +375,8 @@ class AnoVAEGAN(AdversarialTrainerBase):
                 outputs, new_bs = self._forward(p, bs, sub, batch)
                 return L.wgan_gen_loss(outputs["d_"]), new_bs
 
-            (gl, bs), grads = jax.value_and_grad(
-                gen_fn, has_aux=True)(params)
+            (gl, bs), grads = group_value_and_grad(
+                gen_fn, params, self.gen_pred)
             updates, opt_states["gen"] = opts["gen"].update(
                 grads, opt_states["gen"], params)
             params = optax.apply_updates(params, updates)
@@ -369,8 +391,8 @@ class AnoVAEGAN(AdversarialTrainerBase):
                 def loss_fn(p):
                     return self._disc_loss(p, bs, sub, batch)
 
-                (dl, new_bs), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params)
+                (dl, new_bs), grads = group_value_and_grad(
+                    loss_fn, params, self.disc_pred)
                 updates, opt_d = opts["disc"].update(grads, opt_d, params)
                 return (optax.apply_updates(params, updates), new_bs, opt_d,
                         rng, dl)
@@ -450,8 +472,8 @@ class FAnoGAN(AdversarialTrainerBase):
                     losses = L.fanogan_enc_loss(batch["x"], outputs, c.kappa)
                     return losses["enc_loss"], (losses, new_bs)
 
-                (_, (losses, bs)), grads = jax.value_and_grad(
-                    enc_fn, has_aux=True)(state.params)
+                (_, (losses, bs)), grads = group_value_and_grad(
+                    enc_fn, state.params, self.enc_pred)
                 updates, opt_enc = opts["enc"].update(
                     grads, state.opt_states["enc"], state.params)
                 params = optax.apply_updates(state.params, updates)
@@ -476,8 +498,8 @@ class FAnoGAN(AdversarialTrainerBase):
                 outputs, new_bs = self._forward(p, bs, sub, batch, z)
                 return L.wgan_gen_loss(outputs["d_"]), new_bs
 
-            (gl, bs), grads = jax.value_and_grad(
-                gen_fn, has_aux=True)(params)
+            (gl, bs), grads = group_value_and_grad(
+                gen_fn, params, self.gen_pred)
             updates, opt_states["gen"] = opts["gen"].update(
                 grads, opt_states["gen"], params)
             params = optax.apply_updates(params, updates)
@@ -502,8 +524,8 @@ class FAnoGAN(AdversarialTrainerBase):
                     gp = L.wgan_gp_penalty_from_grads(ddx, c.scale)
                     return dl + gp, new_bs
 
-                (dl, new_bs), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params)
+                (dl, new_bs), grads = group_value_and_grad(
+                    loss_fn, params, self.disc_pred)
                 updates, opt_d = opts["disc"].update(grads, opt_d, params)
                 return (optax.apply_updates(params, updates), new_bs, opt_d,
                         rng, dl)
