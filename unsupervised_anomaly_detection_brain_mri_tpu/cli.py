@@ -177,6 +177,10 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--d2s-head", action="store_true",
                    help="opt-in NON-PARITY depth-to-space decoder head "
                         "(Config.depthToSpaceHead)")
+    p.add_argument("--fast-convt-grad", action="store_true",
+                   help="opt-in PARITY-PRESERVING perf: reverse-free "
+                        "ConvT kernel gradient (Config.fastConvTGrad; "
+                        "same math and checkpoints)")
     p.add_argument("--tpu-fast", action="store_true",
                    help="validated TPU perf profile: enables the "
                         "space-to-depth stem AND the depth-to-space head "
@@ -461,6 +465,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         use_gradient_based_restoration=args.use_gradient_based_restoration,
         spaceToDepthStem=args.s2d_stem or args.tpu_fast,
         depthToSpaceHead=args.d2s_head or args.tpu_fast,
+        fastConvTGrad=args.fast_convt_grad,
         mesh=MeshConfig(data=args.mesh_data),
     )
     if args.preset:
@@ -481,6 +486,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             compute_dtype=args.precision,
             spaceToDepthStem=args.s2d_stem or args.tpu_fast,
             depthToSpaceHead=args.d2s_head or args.tpu_fast,
+            fastConvTGrad=args.fast_convt_grad,
             mesh=MeshConfig(data=args.mesh_data))
     else:
         config = Config().replace(**overrides)

@@ -50,6 +50,7 @@ class _AAECore(nn.Module):
     with_discriminator: bool = True
     space_to_depth_stem: bool = False
     depth_to_space_head: bool = False
+    fast_convt_grad: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -60,6 +61,7 @@ class _AAECore(nn.Module):
         self.decoder = UnifiedDecoder(
             self.image_size, self.channels, self.intermediate_resolution,
             depth_to_space_head=self.depth_to_space_head,
+            fast_convt_grad=self.fast_convt_grad,
             dtype=self.dtype, name="decoder")
         # channel count after the unified encoder
         n = int(math.log2(self.image_size)
@@ -165,6 +167,7 @@ class ConstrainedAutoencoder(nn.Module):
     dropout_rate: float = 0.1
     space_to_depth_stem: bool = False
     depth_to_space_head: bool = False
+    fast_convt_grad: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -176,6 +179,7 @@ class ConstrainedAutoencoder(nn.Module):
             with_discriminator=False,
             space_to_depth_stem=self.space_to_depth_stem,
             depth_to_space_head=self.depth_to_space_head,
+            fast_convt_grad=self.fast_convt_grad,
             dtype=self.dtype, name="core")
 
     def __call__(

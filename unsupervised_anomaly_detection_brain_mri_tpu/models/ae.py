@@ -31,6 +31,7 @@ class Autoencoder(nn.Module):
     dropout_rate: float = 0.2
     space_to_depth_stem: bool = False
     depth_to_space_head: bool = False
+    fast_convt_grad: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -49,6 +50,7 @@ class Autoencoder(nn.Module):
             self.channels,
             self.intermediate_resolution,
             depth_to_space_head=self.depth_to_space_head,
+            fast_convt_grad=self.fast_convt_grad,
             dtype=self.dtype,
         )
 
@@ -72,6 +74,7 @@ class AutoencoderSpatial(nn.Module):
     dropout_rate: float = 0.2
     space_to_depth_stem: bool = False
     depth_to_space_head: bool = False
+    fast_convt_grad: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -84,6 +87,7 @@ class AutoencoderSpatial(nn.Module):
             self.channels,
             self.intermediate_resolution,
             depth_to_space_head=self.depth_to_space_head,
+            fast_convt_grad=self.fast_convt_grad,
             dtype=self.dtype,
         )
         self.drop = nn.Dropout(self.dropout_rate)

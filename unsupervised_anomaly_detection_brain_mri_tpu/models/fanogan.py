@@ -49,6 +49,7 @@ class FAnoGAN(nn.Module):
     dropout_rate: float = 0.1
     space_to_depth_stem: bool = False
     depth_to_space_head: bool = False
+    fast_convt_grad: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -77,6 +78,7 @@ class FAnoGAN(nn.Module):
             self.image_size, self.channels, self.intermediate_resolution,
             use_batchnorm=False,
             depth_to_space_head=self.depth_to_space_head,
+            fast_convt_grad=self.fast_convt_grad,
             dtype=self.dtype, name="generator")
         self.disc_features = UnifiedEncoder(
             self.image_size, self.intermediate_resolution,

@@ -156,6 +156,34 @@ def depth_to_space(x: Array, block: int = 2) -> Array:
     return x.reshape(B, H * block, W * block, c)
 
 
+class ConvTransposeNRG(nn.Module):
+    """Drop-in twin of ``nn.ConvTranspose(k, strides, 'SAME')`` routing
+    through `ops/convt.py::conv_transpose_nrev`: identical forward (same
+    ``lax.conv_transpose`` call, same param names/initialisers — shared
+    checkpoints), but the kernel gradient avoids XLA's full-feature-map
+    spatial ``reverse`` (docs/STATUS.md roofline: ~7.6% of the AE step).
+    """
+
+    features: int
+    kernel_size: int = 5
+    stride: int = 2
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from unsupervised_anomaly_detection_brain_mri_tpu.ops.convt import (
+            conv_transpose_nrev,
+        )
+
+        k = self.param("kernel", conv_init,
+                       (self.kernel_size, self.kernel_size,
+                        x.shape[-1], self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype or x.dtype
+        y = conv_transpose_nrev(x.astype(dt), k.astype(dt), self.stride)
+        return y + b.astype(dt)
+
+
 class UnifiedDecoder(nn.Module):
     """Mirrored transposed-conv pyramid up to ``output_width``.
 
@@ -183,6 +211,7 @@ class UnifiedDecoder(nn.Module):
     use_batchnorm: bool = True
     final_activation: Optional[Callable[[Array], Array]] = None
     depth_to_space_head: bool = False
+    fast_convt_grad: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -196,15 +225,20 @@ class UnifiedDecoder(nn.Module):
         n_convt = n - 1 if packed_head else n
         for i in range(n_convt):
             filters = int(max(32, 128 // (2 ** i)))
-            x = nn.ConvTranspose(
-                filters,
-                kernel_size=(5, 5),
-                strides=(2, 2),
-                padding="SAME",
-                kernel_init=conv_init,
-                dtype=self.dtype,
-                name=f"dec_convT_{i}",
-            )(x)
+            if self.fast_convt_grad:
+                # same forward + params, reverse-free kernel gradient
+                x = ConvTransposeNRG(filters, dtype=self.dtype,
+                                     name=f"dec_convT_{i}")(x)
+            else:
+                x = nn.ConvTranspose(
+                    filters,
+                    kernel_size=(5, 5),
+                    strides=(2, 2),
+                    padding="SAME",
+                    kernel_init=conv_init,
+                    dtype=self.dtype,
+                    name=f"dec_convT_{i}",
+                )(x)
             x = Norm(self.use_batchnorm, dtype=self.dtype, name=f"dec_norm_{i}")(
                 x, train=train
             )

@@ -58,6 +58,9 @@ def _std(cls):
         if ("depth_to_space_head" in fields
                 and getattr(config, "depthToSpaceHead", False)):
             kwargs["depth_to_space_head"] = True
+        if ("fast_convt_grad" in fields
+                and getattr(config, "fastConvTGrad", False)):
+            kwargs["fast_convt_grad"] = True
         return cls(**kwargs)
 
     return build

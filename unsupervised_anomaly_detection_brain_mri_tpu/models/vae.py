@@ -86,6 +86,7 @@ class VariationalAutoencoder(nn.Module):
     dropout_rate: float = 0.1
     space_to_depth_stem: bool = False
     depth_to_space_head: bool = False
+    fast_convt_grad: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -97,6 +98,7 @@ class VariationalAutoencoder(nn.Module):
         self.decoder = UnifiedDecoder(
             self.image_size, self.channels, self.intermediate_resolution,
             depth_to_space_head=self.depth_to_space_head,
+            fast_convt_grad=self.fast_convt_grad,
             dtype=self.dtype,
         )
 
