@@ -407,6 +407,23 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         detail["s2d_bench_error"] = str(e)[:120]
 
+    # ---- reverse-free ConvT kernel-gradient ablation (ops/convt.py,
+    # default ON; the headline row above includes it): the same epoch
+    # through jax's built-in transpose rule, whose XLA lowering
+    # materialises the 134 MB cotangent reverse
+    try:
+        ncfg = cfg.replace(fastConvTGrad=False)
+        ntr = get_trainer("AE")(ncfg)
+        nholder = [ntr.init_state()]
+        nrun = epoch_runner(ntr, nholder)
+        nrun(1)
+        builtin_sps = _best_throughput(nrun, n_slices, 4)
+        detail["ae_builtin_convt_grad_slices_per_sec"] = round(
+            builtin_sps, 1)
+        detail["fastconvtgrad_speedup"] = round(native_sps / builtin_sps, 3)
+    except Exception as e:  # pragma: no cover
+        detail["convtgrad_bench_error"] = str(e)[:120]
+
     # ---- MFU of the AE train step (FLOP count from XLA cost analysis)
     try:
         idxs0 = jnp.asarray(epoch_indices(host_rng, n_slices, B))

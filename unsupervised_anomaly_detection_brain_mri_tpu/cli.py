@@ -177,10 +177,15 @@ def make_parser() -> argparse.ArgumentParser:
     p.add_argument("--d2s-head", action="store_true",
                    help="opt-in NON-PARITY depth-to-space decoder head "
                         "(Config.depthToSpaceHead)")
-    p.add_argument("--fast-convt-grad", action="store_true",
-                   help="opt-in PARITY-PRESERVING perf: reverse-free "
-                        "ConvT kernel gradient (Config.fastConvTGrad; "
-                        "same math and checkpoints)")
+    p.add_argument("--fast-convt-grad", dest="fast_convt_grad",
+                   action="store_true", default=True,
+                   help="PARITY-PRESERVING perf (default ON): reverse-"
+                        "free ConvT kernel gradient (Config.fastConvTGrad"
+                        "; same math and checkpoints, 1.08x on TPU v5e)")
+    p.add_argument("--no-fast-convt-grad", dest="fast_convt_grad",
+                   action="store_false",
+                   help="disable the reverse-free ConvT kernel gradient "
+                        "(use jax's built-in transpose rule)")
     p.add_argument("--tpu-fast", action="store_true",
                    help="validated TPU perf profile: enables the "
                         "space-to-depth stem AND the depth-to-space head "
