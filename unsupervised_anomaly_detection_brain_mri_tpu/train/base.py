@@ -465,6 +465,19 @@ class BaseTrainer:
             f.write(self.config.to_json())
         with open(os.path.join(self.workdir, "curves.json"), "w") as f:
             json.dump(self.history, f)
+        # Curves.npy twin (`trainers/DLMODEL.py:84`): the reference saves
+        # a {name: values} dict via np.save and reloads it with
+        # np.load(...).item() — note its dict is never actually populated
+        # (always {}); ours carries the real per-epoch history as
+        # "<PHASE>/<metric>" -> list, same load recipe.
+        curves: Dict[str, list] = {}
+        for h in self.history:
+            phase = h.get("phase", "TRAIN")
+            for k, v in h.items():
+                if isinstance(v, (int, float)) and k != "epoch":
+                    curves.setdefault(f"{phase}/{k}", []).append(v)
+        np.save(os.path.join(self.workdir, "Curves.npy"),
+                np.asarray(curves, dtype=object))
 
     def load_checkpoint(self, template: TrainState
                        ) -> Optional[Tuple[TrainState, int]]:
