@@ -36,11 +36,9 @@ def _stack_pad(vols):
     K = len(vols)
     S = max(v.shape[0] for v in vols)
     out = np.zeros((K, S) + vols[0].shape[1:], np.float32)
-    nv = np.zeros((K,), np.float32)
     for k, v in enumerate(vols):
         out[k, : v.shape[0]] = v
-        nv[k] = v.shape[0]
-    return jnp.asarray(out), jnp.asarray(nv)
+    return jnp.asarray(out)
 
 
 def _ragged_vols():
@@ -61,34 +59,62 @@ def test_vae_you_batched_restoration_matches_sequential(dropout):
     seq = [np.asarray(tr.reconstruct_device(
         state, v, dropout=dropout, rng=k)["reconstruction"])
         for v, k in zip(vols, keys)]
-    stacked, nv = _stack_pad(vols)
+    stacked = _stack_pad(vols)
     bat = tr.reconstruct_volumes_device(
-        state, stacked, dropout=dropout, rngs=jnp.stack(keys),
-        n_valid=nv)["reconstruction"]
+        state, stacked, dropout=dropout,
+        rngs=jnp.stack(keys))["reconstruction"]
     for k, v in enumerate(vols):
         np.testing.assert_allclose(
             np.asarray(bat[k, : v.shape[0]]), seq[k], rtol=2e-5, atol=2e-6)
 
 
-def test_gmvae_batched_restoration_matches_sequential_with_padding():
-    """GMVAE restores with d(mean loss)/dx (`trainers/GMVAE.py:94-95`);
-    `n_valid` must rescale the padded batch mean so every REAL slice sees
-    the unpadded gradient.  Ragged slice counts exercise the rescale."""
-    tr = get_trainer("GMVAE_spatial")(_cfg(
+def _gmvae_trainer(**kw):
+    base = dict(restore_steps=3, tv_lambda=0.5, restore_lr=1e-3,
+                dim_c=3, dim_z=1, dim_w=1)
+    base.update(kw)
+    return get_trainer("GMVAE_spatial")(_cfg(
         "GMVAE_spatial", "gaussian_mixture_variational_autoencoder_spatial",
-        restore_steps=3, tv_lambda=0.5, restore_lr=1e-3,
-        dim_c=3, dim_z=1, dim_w=1))
+        **base))
+
+
+def test_gmvae_batched_restoration_matches_sequential_with_padding():
+    """GMVAE restoration differentiates the loss SUM (the reference's
+    scalar-mean broadcast under tf.gradients, `trainers/GMVAE.py:94-95`),
+    which decomposes per-sample — so ragged zero-padded batching must
+    reproduce the sequential per-volume outputs with no rescaling."""
+    tr = _gmvae_trainer()
     state = tr.init_state()
     vols = _ragged_vols()
     keys = [jax.random.key(5 + 3 * k) for k in range(len(vols))]
     seq = [np.asarray(tr.reconstruct_device(
         state, v, rng=k)["reconstruction"]) for v, k in zip(vols, keys)]
-    stacked, nv = _stack_pad(vols)
+    stacked = _stack_pad(vols)
     bat = tr.reconstruct_volumes_device(
-        state, stacked, rngs=jnp.stack(keys), n_valid=nv)["reconstruction"]
+        state, stacked, rngs=jnp.stack(keys))["reconstruction"]
     for k, v in enumerate(vols):
         np.testing.assert_allclose(
             np.asarray(bat[k, : v.shape[0]]), seq[k], rtol=2e-4, atol=1e-5)
+
+
+def test_gmvae_restoration_batch_size_invariant():
+    """The decisive reference semantic (round-4 audit): in
+    `tf.gradients(loss + restore, x)` the scalar batch-mean loss
+    broadcasts over the (B,) restore vector, so the differentiated
+    objective is the loss SUM — a slice's restoration trajectory must not
+    depend on how many other slices share the batch.  (A 1/B scale, as an
+    earlier revision had, fails this: alone vs in a 6-slice batch differs
+    6x on the pixel term.)"""
+    tr = _gmvae_trainer()
+    state = tr.init_state()
+    vol = _ragged_vols()[0]  # (6, 32, 32, 1)
+    key = jax.random.key(3)
+    full = np.asarray(tr.reconstruct_device(
+        state, vol, rng=key)["reconstruction"])
+    alone = np.asarray(tr.reconstruct_device(
+        state, vol[:1], rng=key)["reconstruction"])
+    np.testing.assert_allclose(alone[0], full[0], rtol=2e-4, atol=1e-5)
+    moved = np.abs(full - vol).max()
+    assert moved > 0, "restoration did not move the input at all"
 
 
 def test_log_every_n_batches_streams_from_jitted_epoch(synth_dataset,

@@ -124,8 +124,9 @@ def _reconstruct_volume_group(trainer, state, x_group, options: Options,
     loop in ONE device dispatch (per MC sample) — the 150-step loop
     (`trainers/VAE_You.py:125-147`) then does K volumes of work per step
     instead of idling the chip on one small batch.  Semantics match
-    per-volume calls exactly: each volume keeps its own rng stream and its
-    own restoration-batch scale (``n_valid``), every MC sample is masked by
+    per-volume calls exactly: each volume keeps its own rng stream, both
+    restoration objectives decompose per-sample (so zero-padded batch
+    mates never influence real slices), every MC sample is masked by
     its volume's eroded brainmask before uncertainty combination
     (`Evaluation.py:246-272`), and padded slices are cropped before return.
     """
@@ -133,12 +134,9 @@ def _reconstruct_volume_group(trainer, state, x_group, options: Options,
     S_max = max(int(x.shape[0]) for x in x_group)
     tail = x_group[0].shape[1:]
     vols = np.zeros((K, S_max) + tail, np.float32)
-    nv = np.zeros((K,), np.float32)
     for k, x in enumerate(x_group):
         vols[k, : x.shape[0]] = x
-        nv[k] = x.shape[0]
     vols_d = jnp.asarray(vols)
-    nv_d = jnp.asarray(nv)
     rngs_d = jnp.stack(list(rngs))
     mc = int(options.numMonteCarloSamples or 0)
     if mc > 1:
@@ -150,7 +148,7 @@ def _reconstruct_volume_group(trainer, state, x_group, options: Options,
         for i in range(mc):
             ri = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(rngs_d)
             r = trainer.reconstruct_volumes_device(
-                state, vols_d, dropout=True, rngs=ri, n_valid=nv_d)
+                state, vols_d, dropout=True, rngs=ri)
             recs.append(jnp.asarray(r["reconstruction"]) * mask)
         recs = jnp.stack(recs, axis=0)  # (mc, K, S, H, W, 1)
         rec = recs.mean(axis=0)
@@ -160,7 +158,7 @@ def _reconstruct_volume_group(trainer, state, x_group, options: Options,
             recs, jnp.zeros_like(recs), axis=0) * mask
     else:
         r = trainer.reconstruct_volumes_device(
-            state, vols_d, dropout=False, rngs=rngs_d, n_valid=nv_d)
+            state, vols_d, dropout=False, rngs=rngs_d)
         rec = jnp.asarray(r["reconstruction"])
         epistemic = combined = None
     l1 = jnp.sum(jnp.abs(vols_d - rec), axis=(2, 3, 4))  # (K, S_max)

@@ -661,17 +661,16 @@ class VAE_You(VAE):
         return self.config.restore_steps > 0
 
     def reconstruct_volumes_device(self, state: TrainState, vols,
-                                   dropout: bool = False, rngs=None,
-                                   n_valid=None) -> Dict[str, Array]:
+                                   dropout: bool = False,
+                                   rngs=None) -> Dict[str, Array]:
         """Restore K whole volumes in ONE device dispatch: the restoration
         loop (`trainers/VAE_You.py:125-147`) is vmapped over a stacked
         (K, S, H, W, 1) volume axis.  Each volume keeps exactly its
         sequential semantics — its own rng stream and its own restoration
         batch axis — so outputs match per-volume `reconstruct_device` calls
         while the chip sees K x S slices of work per restoration step.
-        ``n_valid`` is accepted for API uniformity; the VAE restoration
-        objective is per-sample, so zero-padded slices never influence
-        real ones."""
+        The restoration objective is per-sample, so zero-padded slices
+        never influence real ones."""
         c = self.config
         key = ("restore_vols", bool(dropout))
         if key not in self._reconstruct_jit:
@@ -857,18 +856,26 @@ class GMVAE(BaseTrainer):
         print(f"Best lambda: {self.tv_lambda_value}")
         return self.tv_lambda_value
 
-    def _restoration_fn(self, variables, dropout: bool = False,
-                        n_valid=None):
+    def _restoration_fn(self, variables, dropout: bool = False):
         """(x, rng) -> (loss, xz_mu) from ONE forward, for the restoration
         loop; ``dropout=True`` enables MC-sampling dropout
         (`trainers/GMVAE.py:186` — "apply only during MC sampling").
 
-        ``n_valid`` overrides the restoration-batch denominator: the
-        objective is d(mean loss)/dx (`trainers/GMVAE.py:94-95`), and the
-        GMVAE loss is a per-sample-decomposable batch mean, so when a volume
-        is zero-padded to a common slice count for cross-volume batching,
-        rescaling by the TRUE slice count reproduces the unpadded gradient
-        on every real slice exactly."""
+        Gradient-scale parity (`trainers/GMVAE.py:94-95`): the reference
+        computes ``tf.gradients(loss + restore, x)`` where ``loss`` is the
+        SCALAR batch mean and ``restore`` is the per-sample (B,) TV vector
+        — TF broadcasts the scalar over the vector and `tf.gradients` sums
+        its ys, so the differentiated objective is ``B*mean_loss +
+        sum(restore)`` and the per-sample pixel gradient is ``d l_j/dx_j``
+        with NO 1/B factor.  Broadcasting the raw mean here reproduces that
+        exactly (sum over B of the broadcast mean == the loss SUM); it also
+        makes the gradient on each real slice independent of zero-padded
+        batch mates (the GMVAE loss is a per-sample-decomposable mean), so
+        cross-volume batching needs no rescaling.  (Round-4 audit note: an
+        earlier revision divided by B — under-weighting the pixel term vs
+        the TV term by the restoration batch size; fixed + pinned by
+        `tests/test_round4_fixes.py::test_gmvae_restoration_batch_size_
+        invariant`.)"""
 
         def outputs_fn(x_in: Array, r: Array):
             outputs = self.model.apply(
@@ -876,13 +883,7 @@ class GMVAE(BaseTrainer):
                 rngs=self._rng_streams(r))
             losses = L.gmvae_loss(x_in, outputs, self.config.dim_c,
                                   self.config.c_lambda, self.spatial)
-            # the reference restores with d(mean loss)/dx
-            # (`trainers/GMVAE.py:94-95`): broadcast the scalar to (B,).
-            # sum(loss/denom over B) == B*loss/denom == sum-loss/denom.
-            denom = (jnp.float32(x_in.shape[0]) if n_valid is None
-                     else n_valid.astype(jnp.float32))
-            pixel = jnp.broadcast_to(losses["loss"] / denom,
-                                     (x_in.shape[0],))
+            pixel = jnp.broadcast_to(losses["loss"], (x_in.shape[0],))
             return pixel, outputs["xz_mu"]
 
         return outputs_fn
@@ -914,35 +915,30 @@ class GMVAE(BaseTrainer):
         return self.config.restore_steps > 0
 
     def reconstruct_volumes_device(self, state: TrainState, vols,
-                                   dropout: bool = False, rngs=None,
-                                   n_valid=None) -> Dict[str, Array]:
+                                   dropout: bool = False,
+                                   rngs=None) -> Dict[str, Array]:
         """K-volume restoration in ONE dispatch (see
-        `VAE_You.reconstruct_volumes_device`).  The GMVAE objective is
-        d(mean loss)/dx over the restoration batch (`trainers/GMVAE.py:
-        94-95`), so each vmapped volume passes its TRUE slice count through
-        ``n_valid`` — zero-padded slices then leave real-slice gradients
-        bit-identical to the unpadded per-volume call."""
+        `VAE_You.reconstruct_volumes_device`).  The GMVAE restoration
+        objective differentiates the loss SUM (see `_restoration_fn`), so
+        zero-padded slices leave real-slice gradients bit-identical to the
+        unpadded per-volume call with no rescaling."""
         c = self.config
         key = ("restore_vols", bool(dropout))
         if key not in self._reconstruct_jit:
-            def one(vs, v, lam, r, nv):
-                outputs_fn = self._restoration_fn(vs, bool(dropout),
-                                                  n_valid=nv)
+            def one(vs, v, lam, r):
+                outputs_fn = self._restoration_fn(vs, bool(dropout))
                 return restore_inputs(outputs_fn, v, lam,
                                       c.restore_lr, c.restore_steps, rng=r)
             self._reconstruct_jit[key] = jax.jit(
-                jax.vmap(one, in_axes=(None, 0, None, 0, 0)))
+                jax.vmap(one, in_axes=(None, 0, None, 0)))
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         if rngs is None:
             rngs = jax.random.split(jax.random.key(0), vols.shape[0])
-        if n_valid is None:
-            n_valid = jnp.full((vols.shape[0],), vols.shape[1], jnp.float32)
         rec = self._reconstruct_jit[key](
             variables, jnp.asarray(vols),
-            jnp.float32(max(self.tv_lambda_value, 0.0)), rngs,
-            jnp.asarray(n_valid, jnp.float32))
+            jnp.float32(max(self.tv_lambda_value, 0.0)), rngs)
         return {"reconstruction": rec}
 
 
