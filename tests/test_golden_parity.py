@@ -36,7 +36,6 @@ from scipy import ndimage as ndi
 from sklearn.metrics import (
     auc,
     average_precision_score,
-    precision_recall_curve,
     roc_curve,
 )
 
@@ -49,6 +48,32 @@ from unsupervised_anomaly_detection_brain_mri_tpu.eval import evaluate
 
 STRUCT26 = np.ones((3, 3, 3), bool)
 CROSS2D = ndi.generate_binary_structure(2, 1)
+
+
+def prc_sklearn_023(y_true: np.ndarray, probas_pred: np.ndarray):
+    """Literal `precision_recall_curve` of scikit-learn 0.23 — the version
+    the reference PINS (`requirements.txt:13`).  Vendored because modern
+    sklearn (1.9 here) dropped the full-recall truncation (`last_ind`
+    slice), which moves `np.argmax(precisions <= 0.7)`'s answer: the
+    reference's curve STARTS at the highest full-recall threshold, the
+    modern one at the minimum score.  The installed library is therefore
+    NOT a valid oracle for `Evaluation.py:439`."""
+    y = np.asarray(y_true).astype(bool)
+    s = np.asarray(probas_pred)
+    desc = np.argsort(-s, kind="mergesort")
+    y, s = y[desc], s[desc]
+    distinct = np.where(np.diff(s))[0]
+    threshold_idxs = np.r_[distinct, y.size - 1]
+    tps = np.cumsum(y)[threshold_idxs]
+    fps = 1 + threshold_idxs - tps
+    thresholds = s[threshold_idxs]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        precision = tps / (tps + fps)
+    precision[np.isnan(precision)] = 0
+    recall = tps / tps[-1]
+    last_ind = tps.searchsorted(tps[-1])
+    sl = slice(last_ind, None, -1)
+    return np.r_[precision[sl], 1], np.r_[recall[sl], 0], thresholds[sl]
 
 
 # ---------------------------------------------------------------------------
@@ -322,7 +347,7 @@ def golden_host_eval(patients, options: Options, target, seed: int):
     out = {"diffs": diffs, "labels": labels, "slices_per_patient": spp}
     fpr_v, tpr_v, _ = roc_curve(flat_l, flat_d)
     out["diff_AUC"] = auc(fpr_v, tpr_v)
-    precisions, recalls, threshs = precision_recall_curve(flat_l, flat_d)
+    precisions, recalls, threshs = prc_sklearn_023(flat_l, flat_d)
     out["diff_AUPRC"] = average_precision_score(flat_l, flat_d)
     idx70 = int(np.argmax(precisions <= 0.7))
     t70 = threshs[min(idx70, len(threshs) - 1)]
@@ -485,3 +510,31 @@ def test_golden_parity_shape_sanity_skip():
     np.testing.assert_allclose(dev["diffs"], host["diffs"], atol=2e-6,
                                rtol=0)
     assert dev["DiceScore"] == pytest.approx(host["DiceScore"], rel=1e-5)
+
+
+def test_precision70_threshold_sklearn023_fuzz():
+    """Second-eyes pin (round-4 audit): the device sweep's precision-70
+    operating threshold must reproduce the reference's EXACT recipe —
+    `np.argmax(precisions <= 0.7)` over scikit-learn 0.23's truncated
+    curve (`Evaluation.py:439`, `requirements.txt:13`) — across fuzzed
+    tie-heavy score distributions.  (The installed sklearn 1.9 dropped the
+    full-recall truncation and is NOT a valid oracle: on tie-heavy data
+    its argmax answer differs in ~1/3 of these trials.)"""
+    from unsupervised_anomaly_detection_brain_mri_tpu.ops import metrics as M
+
+    rng = np.random.default_rng(42)
+    tested = 0
+    for _ in range(25):
+        n = int(rng.integers(50, 1500))
+        scores = np.round(rng.uniform(0, 1, n), int(rng.integers(1, 4)))
+        labels = rng.uniform(0, 1, n) < rng.uniform(0.05, 0.5)
+        if labels.sum() == 0:
+            continue
+        prec, _, thr = prc_sklearn_023(labels, scores)
+        idx = int(np.argmax(prec <= 0.7))
+        if idx >= len(thr):  # the reference would IndexError here
+            continue
+        tested += 1
+        got = float(M.precision70_threshold(scores, labels))
+        np.testing.assert_allclose(got, thr[idx], atol=1e-6)
+    assert tested >= 15
