@@ -53,6 +53,42 @@ def test_same_pad_matches_jax_conv_transpose():
         assert eqn.params["padding"][0][0] == _same_pad_a(k, s), (k, s)
 
 
+@pytest.mark.parametrize("k,s", [(5, 2), (4, 2), (3, 2), (1, 2), (3, 1)])
+def test_functional_parity_across_kernel_stride(k, s):
+    """conv_transpose_nrev == lax.conv_transpose (forward bitwise, both
+    gradients to float reassociation) for every (kernel, stride) shape the
+    model zoo uses: 5x5/4x4/3x3/1x1 stride-2 decoders and the Chen
+    resnet's 3x3 stride-1 ConvT."""
+    from jax import lax
+
+    from unsupervised_anomaly_detection_brain_mri_tpu.ops.convt import (
+        conv_transpose_nrev,
+    )
+
+    rng = np.random.default_rng(k * 10 + s)
+    x = jnp.asarray(rng.normal(size=(3, 12, 12, 4)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, k, 4, 6)).astype(np.float32))
+
+    def ref(x, w):
+        return lax.conv_transpose(x, w, strides=(s, s), padding="SAME",
+                                  dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    y_ref = ref(x, w)
+    y_new = conv_transpose_nrev(x, w, s)
+    np.testing.assert_array_equal(np.asarray(y_new), np.asarray(y_ref))
+
+    g = jnp.asarray(rng.normal(size=y_ref.shape).astype(np.float32))
+    dx_r, dw_r = jax.grad(lambda a, b: jnp.vdot(ref(a, b), g),
+                          argnums=(0, 1))(x, w)
+    dx_n, dw_n = jax.grad(
+        lambda a, b: jnp.vdot(conv_transpose_nrev(a, b, s), g),
+        argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(dx_n), np.asarray(dx_r),
+                               rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw_n), np.asarray(dw_r),
+                               rtol=5e-4, atol=1e-5)
+
+
 def test_forward_bit_identical_and_params_shared():
     ref, new, x, vref = _pair()
     y_ref = ref.apply(vref, x)
@@ -124,3 +160,63 @@ def test_train_step_equivalent_and_no_big_reverse(synth_dataset):
             if np.prod(dims) > 5 * 5 * 128 * 128:
                 big.append(line.strip()[:120])
     assert not big, big
+
+
+@pytest.mark.parametrize("name", [
+    "variational_autoencoder_Zimmerer",
+    pytest.param("constrained_adversarial_autoencoder_Chen",
+                 marks=pytest.mark.slow),
+    pytest.param("fanogan_schlegl", marks=pytest.mark.slow),
+])
+def test_zoo_models_identical_forward_under_fast_convt_grad(name):
+    """Every ConvT-bearing decoder family routes through the shared
+    `conv_transpose` factory: with fastConvTGrad on/off the parameter tree
+    and the forward are identical (same lax.conv_transpose call, shared
+    checkpoints) — the flag changes ONLY the backward lowering."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.models import get_model
+
+    SIZE, ZDIM, BATCH = 32, 16, 2
+
+    def build(fast):
+        cfg = Config(model=name, outputWidth=SIZE, outputHeight=SIZE,
+                     zDim=ZDIM, intermediateResolutions=(8, 8),
+                     batchsize=BATCH, fastConvTGrad=fast)
+        return get_model(cfg, None)
+
+    model_a, spec = build(False)
+    model_b, _ = build(True)
+    x = jax.random.uniform(jax.random.key(0), (BATCH, SIZE, SIZE, 1))
+    rngs = {k: jax.random.key(i + 1)
+            for i, k in enumerate(("params",) + spec.rngs + ("sample",))}
+    args = (x,)
+    if spec.takes_prior_z:
+        args = (x, jax.random.normal(jax.random.key(7), (BATCH, ZDIM)))
+    va = model_a.init(rngs, *args, train=False, dropout=False)
+    vb = model_b.init(rngs, *args, train=False, dropout=False)
+    pa = {str(k): v for k, v in
+          jax.tree_util.tree_leaves_with_path(va["params"])}
+    pb = {str(k): v for k, v in
+          jax.tree_util.tree_leaves_with_path(vb["params"])}
+    assert set(pa) == set(pb)  # shared checkpoint tree
+    apply_rngs = {k: v for k, v in rngs.items() if k != "params"}
+    out_a = model_a.apply(va, *args, train=False, dropout=False,
+                          rngs=apply_rngs)
+    out_b = model_b.apply(va, *args, train=False, dropout=False,
+                          rngs=apply_rngs)  # SAME variables
+    ra = np.asarray(out_a[spec.reconstruction_key])
+    rb = np.asarray(out_b[spec.reconstruction_key])
+    np.testing.assert_array_equal(rb, ra)
+
+    # gradients through the full model agree to float reassociation
+    def loss(model, v):
+        out = model.apply(v, *args, train=False, dropout=False,
+                          rngs=apply_rngs)
+        return jnp.sum(out[spec.reconstruction_key] ** 2)
+
+    ga = jax.grad(lambda v: loss(model_a, v))(va)
+    gb = jax.grad(lambda v: loss(model_b, v))(va)
+    la = {str(k): v for k, v in jax.tree_util.tree_leaves_with_path(ga)}
+    lb = {str(k): v for k, v in jax.tree_util.tree_leaves_with_path(gb)}
+    for key in la:
+        np.testing.assert_allclose(np.asarray(lb[key]), np.asarray(la[key]),
+                                   rtol=5e-4, atol=1e-4, err_msg=key)

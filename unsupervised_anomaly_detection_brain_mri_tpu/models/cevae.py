@@ -23,6 +23,7 @@ from unsupervised_anomaly_detection_brain_mri_tpu.models.layers import (
     UnifiedDecoder,
     UnifiedEncoder,
     conv_init,
+    conv_transpose,
     dense_init,
 )
 
@@ -37,6 +38,7 @@ class ContextEncoderVAE(nn.Module):
     z_dim: int = 128
     intermediate_resolution: int = 8
     dropout_rate: float = 0.1
+    fast_convt_grad: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -121,6 +123,7 @@ class ContextEncoderVAEZimmerer(nn.Module):
     z_dim: int = 128
     intermediate_resolution: int = 8
     dropout_rate: float = 0.1
+    fast_convt_grad: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -162,9 +165,8 @@ class ContextEncoderVAEZimmerer(nn.Module):
         dec_dense = nn.Dense(inter * inter * 1024, kernel_init=dense_init,
                              dtype=self.dtype, name="dec_dense")
         deconvs = [
-            nn.ConvTranspose(f, (4, 4), strides=(2, 2), padding="SAME",
-                             kernel_init=conv_init, dtype=self.dtype,
-                             name=f"dec_convT_{i + 1}")
+            conv_transpose(f, (4, 4), (2, 2), self.fast_convt_grad,
+                           self.dtype, name=f"dec_convT_{i + 1}")
             for i, f in enumerate((1024, 256, 64, 16))
         ]
         final = nn.Conv(self.channels, (4, 4), padding="SAME",

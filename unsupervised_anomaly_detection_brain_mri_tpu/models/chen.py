@@ -35,6 +35,7 @@ class ConstrainedAAEChen(nn.Module):
     intermediate_resolution: int = 16  # unused (fixed /8 backbone); API parity
     dropout_rate: float = 0.1
     dim: int = 64
+    fast_convt_grad: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -45,8 +46,9 @@ class ConstrainedAAEChen(nn.Module):
         self.dec_dense = nn.Dense(feat * feat * 8 * self.dim,
                                   kernel_init=dense_init, dtype=self.dtype,
                                   name="dec_dense")
-        self.decoder = ResNetDecoder(self.dim, self.channels, dtype=self.dtype,
-                                     name="decoder")
+        self.decoder = ResNetDecoder(self.dim, self.channels,
+                                     fast_convt_grad=self.fast_convt_grad,
+                                     dtype=self.dtype, name="decoder")
         self.discriminator = MLPDiscriminator((400, 200), dtype=self.dtype,
                                               name="discriminator")
 

@@ -150,6 +150,7 @@ class FAnoGANSchlegl(nn.Module):
     intermediate_resolution: int = 16
     dropout_rate: float = 0.1
     dim: int = 64
+    fast_convt_grad: bool = False
     dtype: Optional[Any] = None
 
     def setup(self) -> None:
@@ -167,8 +168,9 @@ class FAnoGANSchlegl(nn.Module):
                                   kernel_init=dense_init, dtype=self.dtype,
                                   name="gen_dense")
         self.generator = ResNetDecoder(self.dim, self.channels,
-                                       final_tanh=True, dtype=self.dtype,
-                                       name="generator")
+                                       final_tanh=True,
+                                       fast_convt_grad=self.fast_convt_grad,
+                                       dtype=self.dtype, name="generator")
         self.disc_features = ResNetEncoder(self.dim, dtype=self.dtype,
                                            name="disc_features")
         self.disc_dense = nn.Dense(1, kernel_init=dense_init,

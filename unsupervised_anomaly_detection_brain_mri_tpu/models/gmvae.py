@@ -256,6 +256,9 @@ class GMVAEYou(nn.Module):
 
         def convT(name: str):
             def f_(v):
+                # stride-1 ConvT: no lhs dilation, so jax's built-in kernel
+                # gradient has no full-map reverse (ops/convt.py is for the
+                # strided decoder stages)
                 v = nn.ConvTranspose(64, (3, 3), strides=(1, 1), padding="SAME",
                                      kernel_init=conv_init, dtype=self.dtype,
                                      name=name)(v)

@@ -184,6 +184,20 @@ class ConvTransposeNRG(nn.Module):
         return y + b.astype(dt)
 
 
+def conv_transpose(features: int, kernel_size, strides, fast: bool,
+                   dtype, name: str):
+    """``nn.ConvTranspose(..., 'SAME')`` or its reverse-free-gradient twin
+    (`ConvTransposeNRG`, checkpoint-compatible) — every decoder ConvT site
+    in the zoo routes through here so ``Config.fastConvTGrad`` switches
+    the whole model family at once."""
+    if fast:
+        return ConvTransposeNRG(features, kernel_size=kernel_size[0],
+                                stride=strides[0], dtype=dtype, name=name)
+    return nn.ConvTranspose(features, kernel_size=kernel_size,
+                            strides=strides, padding="SAME",
+                            kernel_init=conv_init, dtype=dtype, name=name)
+
+
 class UnifiedDecoder(nn.Module):
     """Mirrored transposed-conv pyramid up to ``output_width``.
 

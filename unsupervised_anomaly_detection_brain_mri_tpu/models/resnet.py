@@ -22,7 +22,10 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from unsupervised_anomaly_detection_brain_mri_tpu.models.layers import conv_init
+from unsupervised_anomaly_detection_brain_mri_tpu.models.layers import (
+    conv_init,
+    conv_transpose,
+)
 
 Array = jnp.ndarray
 
@@ -59,6 +62,7 @@ class ResBlockSame(nn.Module):
 
     filters: int
     transpose_second: bool = False  # reference uses ConvT for the 2nd conv
+    fast_convt_grad: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -68,9 +72,9 @@ class ResBlockSame(nn.Module):
                     dtype=self.dtype, name="conv1")(h)
         h = nn.relu(_spatial_ln(self.dtype, "ln2")(h))
         if self.transpose_second:
-            h = nn.ConvTranspose(self.filters, (3, 3), padding="SAME",
-                                 kernel_init=conv_init, dtype=self.dtype,
-                                 name="conv2")(h)
+            h = conv_transpose(self.filters, (3, 3), (1, 1),
+                               self.fast_convt_grad, self.dtype,
+                               name="conv2")(h)
         else:
             h = nn.Conv(self.filters, (3, 3), padding="SAME",
                         kernel_init=conv_init, dtype=self.dtype, name="conv2")(h)
@@ -81,6 +85,7 @@ class ResBlockUp(nn.Module):
     """Stride-2 transposed-conv residual upsampling block (decoder/generator)."""
 
     filters: int
+    fast_convt_grad: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -89,12 +94,12 @@ class ResBlockUp(nn.Module):
         h = nn.Conv(self.filters, (3, 3), padding="SAME", kernel_init=conv_init,
                     dtype=self.dtype, name="conv1")(h)
         h = nn.relu(_spatial_ln(self.dtype, "ln2")(h))
-        h = nn.ConvTranspose(self.filters, (3, 3), strides=(2, 2),
-                             padding="SAME", kernel_init=conv_init,
-                             dtype=self.dtype, name="conv2")(h)
-        sc = nn.ConvTranspose(self.filters, (1, 1), strides=(2, 2),
-                              padding="SAME", kernel_init=conv_init,
-                              dtype=self.dtype, name="shortcut")(x)
+        h = conv_transpose(self.filters, (3, 3), (2, 2),
+                           self.fast_convt_grad, self.dtype,
+                           name="conv2")(h)
+        sc = conv_transpose(self.filters, (1, 1), (2, 2),
+                            self.fast_convt_grad, self.dtype,
+                            name="shortcut")(x)
         return h + sc
 
 
@@ -123,15 +128,21 @@ class ResNetDecoder(nn.Module):
     dim: int = 64
     out_channels: int = 1
     final_tanh: bool = False
+    fast_convt_grad: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = ResBlockSame(8 * self.dim, transpose_second=True, dtype=self.dtype,
+        fcg = self.fast_convt_grad
+        h = ResBlockSame(8 * self.dim, transpose_second=True,
+                         fast_convt_grad=fcg, dtype=self.dtype,
                          name="res1")(x)
-        h = ResBlockUp(4 * self.dim, dtype=self.dtype, name="res2")(h)
-        h = ResBlockUp(2 * self.dim, dtype=self.dtype, name="res3")(h)
-        h = ResBlockUp(self.dim, dtype=self.dtype, name="res4")(h)
+        h = ResBlockUp(4 * self.dim, fast_convt_grad=fcg, dtype=self.dtype,
+                       name="res2")(h)
+        h = ResBlockUp(2 * self.dim, fast_convt_grad=fcg, dtype=self.dtype,
+                       name="res3")(h)
+        h = ResBlockUp(self.dim, fast_convt_grad=fcg, dtype=self.dtype,
+                       name="res4")(h)
         h = nn.relu(_spatial_ln(self.dtype, "ln_out")(h))
         h = nn.Conv(self.out_channels, (1, 1), padding="SAME",
                     kernel_init=conv_init, dtype=self.dtype, name="head")(h)

@@ -21,6 +21,7 @@ from unsupervised_anomaly_detection_brain_mri_tpu.models.layers import (
     UnifiedDecoder,
     UnifiedEncoder,
     conv_init,
+    conv_transpose,
     dense_init,
 )
 
@@ -128,6 +129,7 @@ class VariationalAutoencoderZimmerer(nn.Module):
     z_dim: int = 128
     intermediate_resolution: int = 8
     dropout_rate: float = 0.1
+    fast_convt_grad: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -158,10 +160,9 @@ class VariationalAutoencoderZimmerer(nn.Module):
         h = h.reshape((x.shape[0], inter, inter, 1024))
         for i, filters in enumerate((1024, 256, 64, 16)):
             h = _leaky02(
-                nn.ConvTranspose(filters, (4, 4), strides=(2, 2),
-                                 padding="SAME", kernel_init=conv_init,
-                                 dtype=self.dtype,
-                                 name=f"dec_convT_{i + 1}")(h)
+                conv_transpose(filters, (4, 4), (2, 2),
+                               self.fast_convt_grad, self.dtype,
+                               name=f"dec_convT_{i + 1}")(h)
             )
         x_hat = nn.Conv(self.channels, (4, 4), padding="SAME",
                         kernel_init=conv_init, dtype=self.dtype,
