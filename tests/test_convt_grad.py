@@ -170,21 +170,23 @@ def test_train_step_equivalent_and_no_big_reverse(synth_dataset):
 ])
 def test_zoo_models_identical_forward_under_fast_convt_grad(name):
     """Every ConvT-bearing decoder family routes through the shared
-    `conv_transpose` factory: with fastConvTGrad on/off the parameter tree
-    and the forward are identical (same lax.conv_transpose call, shared
-    checkpoints) — the flag changes ONLY the backward lowering."""
+    `conv_transpose` factory: with fast_convt_grad on/off the parameter
+    tree and the forward are identical (same lax.conv_transpose call,
+    shared checkpoints) — the switch changes ONLY the backward lowering.
+    (For the Zimmerer/Chen/Schlegl families the registry keeps it OFF per
+    the round-4 hardware measurements, so the fast twin is constructed
+    directly here.)"""
+    import dataclasses
+
     from unsupervised_anomaly_detection_brain_mri_tpu.models import get_model
 
     SIZE, ZDIM, BATCH = 32, 16, 2
-
-    def build(fast):
-        cfg = Config(model=name, outputWidth=SIZE, outputHeight=SIZE,
-                     zDim=ZDIM, intermediateResolutions=(8, 8),
-                     batchsize=BATCH, fastConvTGrad=fast)
-        return get_model(cfg, None)
-
-    model_a, spec = build(False)
-    model_b, _ = build(True)
+    cfg = Config(model=name, outputWidth=SIZE, outputHeight=SIZE,
+                 zDim=ZDIM, intermediateResolutions=(8, 8),
+                 batchsize=BATCH, fastConvTGrad=False)
+    model_a, spec = get_model(cfg, None)
+    assert not model_a.fast_convt_grad
+    model_b = dataclasses.replace(model_a, fast_convt_grad=True)
     x = jax.random.uniform(jax.random.key(0), (BATCH, SIZE, SIZE, 1))
     rngs = {k: jax.random.key(i + 1)
             for i, k in enumerate(("params",) + spec.rngs + ("sample",))}

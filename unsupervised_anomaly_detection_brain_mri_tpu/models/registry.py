@@ -40,6 +40,22 @@ class ModelSpec:
     rngs: Tuple[str, ...] = ("dropout",)
 
 
+# Reverse-free ConvT kernel gradient (ops/convt.py), measured per decoder
+# family on TPU v5e (round-4 campaign): the UnifiedDecoder 5x5 pyramid wins
+# 1.08x end-to-end; the Zimmerer 4x4 high-channel stages measure 0.98x
+# (both b=8 and b=64) and the Chen/Schlegl resnet up-blocks 0.99x — for
+# those the correlation formulation lowers no better than XLA's
+# reverse+conv, so they keep jax's built-in rule.  The wiring and parity
+# tests remain for all families (construct the module with
+# fast_convt_grad=True directly to re-measure).
+_FAST_CONVT_GRAD_OFF = {
+    "VariationalAutoencoderZimmerer",
+    "ContextEncoderVAEZimmerer",
+    "ConstrainedAAEChen",
+    "FAnoGANSchlegl",
+}
+
+
 def _std(cls):
     def build(config: Config, dtype: Any):
         kwargs = dict(
@@ -59,7 +75,8 @@ def _std(cls):
                 and getattr(config, "depthToSpaceHead", False)):
             kwargs["depth_to_space_head"] = True
         if ("fast_convt_grad" in fields
-                and getattr(config, "fastConvTGrad", False)):
+                and getattr(config, "fastConvTGrad", False)
+                and cls.__name__ not in _FAST_CONVT_GRAD_OFF):
             kwargs["fast_convt_grad"] = True
         return cls(**kwargs)
 
