@@ -2,7 +2,8 @@
 """HBM roofline measurement for the parity AE train step (VERDICT r2 #1).
 
 Answers: is the parity-architecture train step already at the achievable
-HBM-bandwidth floor, or does the fused decoder-stage kernel have headroom?
+HBM-bandwidth floor?  (Round-3 answer: no — 12% of achievable; the waste
+was XLA's ConvT-gradient reverse, since removed by ops/convt.py.)
 
 Method:
   1. Measure ACHIEVABLE HBM bandwidth with streaming microbenchmarks
