@@ -259,3 +259,34 @@ def test_shard_like_params_requires_shape_match():
     red = out["v_row"]["dense"]["kernel"].sharding
     assert "model" in str(full.spec)
     assert red.is_fully_replicated
+
+
+def test_sharded_batched_restoration_matches_single_device(ctx8):
+    """Multi-chip batched restoration (round 4): VAE_You's vmapped
+    restoration loop with the stacked volume axis sharded over 'data'
+    (3 volumes padded to 8) reproduces the unmeshed outputs exactly."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.train import get_trainer
+
+    def build(mesh):
+        cfg = Config(trainer="VAE_You", model="variational_autoencoder",
+                     batchsize=8, outputWidth=32, outputHeight=32, zDim=16,
+                     numEpochs=1, compute_dtype="float32", restore_steps=2,
+                     tv_lambda=0.5, restore_lr=1e-3)
+        return get_trainer("VAE_You")(cfg, mesh=mesh)
+
+    tr_single = build(None)
+    state = tr_single.init_state()
+    tr_mesh = build(ctx8)
+    rng = np.random.default_rng(0)
+    vols = jnp.asarray(rng.uniform(0, 1, (3, 4, 32, 32, 1)
+                                   ).astype(np.float32))
+    keys = jax.random.split(jax.random.key(5), 3)
+    ref = tr_single.reconstruct_volumes_device(
+        state, vols, rngs=keys)["reconstruction"]
+    # the mesh trainer shares the single-device parameters
+    mesh_state = tr_mesh.init_state().replace(params=state.params)
+    got = tr_mesh.reconstruct_volumes_device(
+        mesh_state, vols, rngs=keys)["reconstruction"]
+    assert got.shape[0] == 3  # padding cropped
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)

@@ -577,6 +577,24 @@ class BaseTrainer:
         eval driver then restores several patients per device dispatch."""
         return False
 
+    def _shard_volume_stack(self, vols, rngs):
+        """Shard a stacked (K, S, H, W, C) volume batch (and its per-volume
+        rng keys) over the mesh 'data' axis, padding K to a multiple of the
+        axis size — multi-chip batched restoration.  No-op off-mesh."""
+        if self.mesh is None or self.mesh.n_data <= 1:
+            return vols, rngs
+        from unsupervised_anomaly_detection_brain_mri_tpu.parallel.mesh import (
+            pad_batch_to,
+        )
+
+        vols = jnp.asarray(pad_batch_to(np.asarray(vols), self.mesh.n_data))
+        # pad keys to match (padded volumes' outputs are cropped; their
+        # rng content is irrelevant)
+        keys = jax.random.wrap_key_data(jnp.asarray(pad_batch_to(
+            np.asarray(jax.random.key_data(rngs)), self.mesh.n_data)))
+        sh = self.mesh.batch_sharding()
+        return jax.device_put(vols, sh), jax.device_put(keys, sh)
+
     def reconstruct(self, state: TrainState, x: Array, dropout: bool = False,
                     rng: Optional[Array] = None) -> Dict[str, np.ndarray]:
         """Reconstruct a batch of slices; returns numpy dict with
@@ -670,7 +688,9 @@ class VAE_You(VAE):
         batch axis — so outputs match per-volume `reconstruct_device` calls
         while the chip sees K x S slices of work per restoration step.
         The restoration objective is per-sample, so zero-padded slices
-        never influence real ones."""
+        never influence real ones.  Under a device mesh the stacked volume
+        axis is sharded over 'data' (padded to a multiple of the axis
+        size) — multi-chip evaluation restores K volumes across chips."""
         c = self.config
         key = ("restore_vols", bool(dropout))
         if key not in self._reconstruct_jit:
@@ -683,12 +703,14 @@ class VAE_You(VAE):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
+        vols = jnp.asarray(vols)
+        n_orig = vols.shape[0]
         if rngs is None:
-            rngs = jax.random.split(jax.random.key(0), vols.shape[0])
+            rngs = jax.random.split(jax.random.key(0), n_orig)
+        vols, rngs = self._shard_volume_stack(vols, rngs)
         restored = self._reconstruct_jit[key](
-            variables, jnp.asarray(vols),
-            jnp.float32(self.tv_lambda_value), rngs)
-        return {"reconstruction": restored}
+            variables, vols, jnp.float32(self.tv_lambda_value), rngs)
+        return {"reconstruction": restored[:n_orig]}
 
     def determine_best_lambda(self, dataset, state: TrainState) -> float:
         """Parity: `trainers/VAE_You.py:149-173` — sweep tv_lambda over 20%
@@ -934,12 +956,15 @@ class GMVAE(BaseTrainer):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
+        vols = jnp.asarray(vols)
+        n_orig = vols.shape[0]
         if rngs is None:
-            rngs = jax.random.split(jax.random.key(0), vols.shape[0])
+            rngs = jax.random.split(jax.random.key(0), n_orig)
+        vols, rngs = self._shard_volume_stack(vols, rngs)
         rec = self._reconstruct_jit[key](
-            variables, jnp.asarray(vols),
+            variables, vols,
             jnp.float32(max(self.tv_lambda_value, 0.0)), rngs)
-        return {"reconstruction": rec}
+        return {"reconstruction": rec[:n_orig]}
 
 
 class GMVAE_spatial(GMVAE):
