@@ -166,6 +166,12 @@ def main() -> None:
     baseline_sps = _best_throughput(run_baseline, B, 8)
     detail["tf1_shaped_baseline_slices_per_sec"] = round(baseline_sps, 1)
     _partial["vs_baseline"] = round(native_sps / baseline_sps, 2)
+    # the baseline crosses the remote tunnel twice per step BY DESIGN
+    # (that's the reference execution model), so vs_baseline tracks
+    # current tunnel latency — it has ranged 30-90x across captures
+    detail["baseline_note"] = (
+        "TF1-shaped baseline is tunnel-latency dominated (per-step "
+        "host feed + fetch); vs_baseline varies with tunnel conditions")
 
     # ---- VAE path (BASELINE.md names AE & VAE)
     try:
