@@ -45,7 +45,7 @@ TRIALS = 2  # best-of-2: bounded runtime under the driver's bench timeout
 # C-level waits (e.g. a blocking transport call), where CPython cannot
 # deliver the signal to the main thread.  Normal warm runtime is ~350 s
 # (persistent compilation cache).
-WATCHDOG_SECS = 540
+WATCHDOG_SECS = int(os.environ.get("UADMRI_BENCH_WATCHDOG_SECS", "540"))
 _partial = {"value": None, "vs_baseline": None, "detail": None}
 _reported = threading.Event()
 
@@ -116,12 +116,13 @@ def main() -> None:
     pool = {"x": jnp.asarray(pool_np)}
     detail = {"batch": B, "image": H, "device": str(jax.devices()[0])}
 
-    def epoch_runner(trainer, state_holder):
+    def epoch_runner(trainer, state_holder, **static):
         def run(n_epochs: int):
             state = state_holder[0]
             for _ in range(n_epochs):
                 idxs = jnp.asarray(epoch_indices(host_rng, n_slices, B))
-                state, m = trainer._train_compiler(state, pool, idxs)
+                state, m = trainer._train_compiler(state, pool, idxs,
+                                                   **static)
             _ = float(m["loss"])  # force completion through the tunnel
             state_holder[0] = state
         return run
@@ -197,7 +198,10 @@ def main() -> None:
                       intermediateResolutions=(16, 16))
         gtr = get_trainer("AAE")(gcfg)
         gholder = [gtr.init_state()]
-        grun = epoch_runner(gtr, gholder)
+        # run with the epoch<=5 parity statics (ae_iters=20) so the
+        # measured program really executes the 41 updates/batch the
+        # per-update division assumes (trainers/AAE.py:85-131)
+        grun = epoch_runner(gtr, gholder, **gtr.epoch_static(0, "train"))
         grun(1)
         aae_sps = _best_throughput(grun, n_slices, 2)
         detail["aae_train_slices_per_sec"] = round(aae_sps, 1)

@@ -154,8 +154,9 @@ def _reconstruct_volume_group(trainer, state, x_group, options: Options,
         rec = recs.mean(axis=0)
         epistemic = M.combined_predictive_uncertainty(
             recs, jnp.zeros_like(recs), axis=0)
-        combined = M.combined_predictive_uncertainty(
-            recs, jnp.zeros_like(recs), axis=0) * mask
+        # restoration trainers carry no aleatoric log_var, so combined
+        # collapses to the epistemic variance (masked) — one reduction
+        combined = epistemic * mask
     else:
         r = trainer.reconstruct_volumes_device(
             state, vols_d, dropout=False, rngs=rngs_d)
@@ -349,10 +350,21 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
                   - getattr(dataset.options, "sliceStart", 0))
     skipped: set = set()
 
-    # ---- pass 1 (host): load + zoom + prepare every kept patient
+    # ---- streaming prepare -> reconstruct -> accumulate, one restoration
+    # group at a time.  Iterative-restoration trainers (VAE_You/GMVAE)
+    # restore `restorationVolumeBatch` patients per vmapped dispatch;
+    # everything else streams per volume.  Device residency (eroded MC
+    # masks, reconstructions, MC variance maps) is bounded by ONE group
+    # regardless of cohort size — only the residual maps accumulate
+    # on device (their consumers are the on-device curve/CC stages).
     mc = int(options.numMonteCarloSamples or 0)
-    prepared = []
-    for p, patient in enumerate(patients):
+    group_size = max(1, int(getattr(options, "restorationVolumeBatch", 1)))
+    batched = (group_size > 1 and len(patients) > 1 and getattr(
+        trainer, "batched_volume_restoration", lambda: False)())
+    if not batched:
+        group_size = 1
+
+    def _prepare(p, patient):
         vol, gt, brainmask, skullmap = dataset.load_volume_and_groundtruth(
             patient)
         # shape sanity: skip badly-coregistered volumes (:207-209)
@@ -360,7 +372,7 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
             print(f"Skipping patient {patient.get('name', p)}: shape "
                   f"{vol.shape} smaller than slice range {slice_span}")
             skipped.add(p)
-            continue
+            return None
         s0 = getattr(dataset.options, "sliceStart", 0)
         s1 = min(getattr(dataset.options, "sliceEnd", vol.shape[2]),
                  vol.shape[2])
@@ -375,25 +387,17 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
                    or {"shape": vol.shape, "axis_index": 2,
                        "pixdim": (1.0, 1.0, 1.0), "affine": None})
         geo["slice_range"] = (s0, s1)
-        prepared.append({
+        return {
             "p": p, "x": x, "seg": seg, "skm": skm, "geo": geo,
             "s0": s0, "s1": s1,
             "prior_q": float(np.quantile(vol, 0.9)),
             # the standalone eroded mask is only needed to mask MC samples;
             # otherwise erosion folds into the postprocess dispatch
             "eroded": _eroded_mask(skm, options) if mc > 1 else None,
-        })
+        }
 
-    # ---- pass 2 (device): reconstruction.  Iterative-restoration trainers
-    # (VAE_You/GMVAE) restore `restorationVolumeBatch` patients per vmapped
-    # dispatch; everything else reconstructs per volume as before.
-    group_size = max(1, int(getattr(options, "restorationVolumeBatch", 1)))
-    batched = (group_size > 1 and len(prepared) > 1 and getattr(
-        trainer, "batched_volume_restoration", lambda: False)())
-    results: List[Dict[str, Any]] = [None] * len(prepared)
-    if batched:
-        for g0 in range(0, len(prepared), group_size):
-            grp = prepared[g0:g0 + group_size]
+    def _reconstruct_group(grp):
+        if batched and len(grp) > 1:
             t0 = time.time()
             res_g = _reconstruct_volume_group(
                 trainer, state, [it["x"][..., None] for it in grp], options,
@@ -402,26 +406,23 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
             jax.block_until_ready(res_g[-1]["reconstruction"])
             per_slice = (time.time() - t0) / max(
                 sum(len(it["x"]) for it in grp), 1)
-            for off, res in enumerate(res_g):
-                results[g0 + off] = res
-                times.append(per_slice)
-    else:
-        for idx, it in enumerate(prepared):
+            return res_g, [per_slice] * len(grp)
+        res_g, per_slice = [], []
+        for it in grp:
             t0 = time.time()
             res = _reconstruct_volume(trainer, state, it["x"][..., None],
                                       options,
                                       jax.random.fold_in(rng, it["p"]),
                                       it["eroded"])
             jax.block_until_ready(res["reconstruction"])  # honest timing
-            times.append((time.time() - t0) / max(len(it["x"]), 1))
-            results[idx] = res
+            per_slice.append((time.time() - t0) / max(len(it["x"]), 1))
+            res_g.append(res)
+        return res_g, per_slice
 
-    # ---- pass 3: residual post-processing + accumulation
-    for idx, it in enumerate(prepared):
+    def _accumulate(it, res):
         x, seg, skm = it["x"], it["seg"], it["skm"]
         s0, s1, prior_q, eroded = it["s0"], it["s1"], it["prior_q"], \
             it["eroded"]
-        res = results[idx]
         rec = res["reconstruction"][..., 0]
 
         want_raw = bool(options.exportPNGs)
@@ -458,6 +459,25 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
         if res["epistemic"] is not None:
             epistemics.append(np.asarray(res["epistemic"][..., 0]))
             combineds.append(np.asarray(res["combined"][..., 0]))
+
+    pending: List[Dict[str, Any]] = []
+
+    def _flush():
+        res_g, per_slice = _reconstruct_group(pending)
+        times.extend(per_slice)
+        for it, res in zip(pending, res_g):
+            _accumulate(it, res)
+        pending.clear()
+
+    for p, patient in enumerate(patients):
+        it = _prepare(p, patient)
+        if it is None:
+            continue
+        pending.append(it)
+        if len(pending) >= group_size:
+            _flush()
+    if pending:
+        _flush()
 
     l1_np = (np.asarray(jnp.concatenate(l1s)) if l1s
              else np.zeros((0,), np.float32))

@@ -58,6 +58,7 @@ class ContextEncoderVAE(nn.Module):
         )
         decoder = UnifiedDecoder(
             self.image_size, self.channels, self.intermediate_resolution,
+            fast_convt_grad=self.fast_convt_grad,
             dtype=self.dtype, name="decoder",
         )
         h = encoder(x, train=train)

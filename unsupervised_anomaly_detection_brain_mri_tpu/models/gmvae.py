@@ -71,6 +71,7 @@ class GMVAE(nn.Module):
     dim_z: int = 1
     dim_w: int = 1
     dropout_rate: float = 0.1
+    fast_convt_grad: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -131,7 +132,9 @@ class GMVAE(nn.Module):
                      dtype=self.dtype, name="intermediate_conv_reverse")(
             dec.reshape((x.shape[0],) + tuple(reshape)))
         xz_mu = UnifiedDecoder(self.image_size, self.channels,
-                               self.intermediate_resolution, dtype=self.dtype,
+                               self.intermediate_resolution,
+                               fast_convt_grad=self.fast_convt_grad,
+                               dtype=self.dtype,
                                name="decoder")(hd, train=train)
 
         out.update(
@@ -209,6 +212,7 @@ class GMVAESpatial(nn.Module):
     dim_z: int = 1
     dim_w: int = 1
     dropout_rate: float = 0.1
+    fast_convt_grad: bool = False
     dtype: Optional[Any] = None
 
     @nn.compact
@@ -221,7 +225,9 @@ class GMVAESpatial(nn.Module):
                                  dtype=self.dtype, name="heads")(enc)
         # reference quirk: decoder consumes the encoder features directly
         xz_mu = UnifiedDecoder(self.image_size, self.channels,
-                               self.intermediate_resolution, dtype=self.dtype,
+                               self.intermediate_resolution,
+                               fast_convt_grad=self.fast_convt_grad,
+                               dtype=self.dtype,
                                name="decoder")(enc, train=train)
         out["xz_mu"] = out["x_hat"] = xz_mu
         return out

@@ -85,7 +85,7 @@ def _std(cls):
 
 def _gmvae(cls):
     def build(config: Config, dtype: Any):
-        return cls(
+        kwargs = dict(
             image_size=config.outputWidth,
             channels=config.numChannels,
             intermediate_resolution=config.intermediateResolutions[0],
@@ -95,6 +95,12 @@ def _gmvae(cls):
             dropout_rate=config.dropout_rate,
             dtype=dtype,
         )
+        fields = getattr(cls, "__dataclass_fields__", {})
+        if ("fast_convt_grad" in fields
+                and getattr(config, "fastConvTGrad", False)
+                and cls.__name__ not in _FAST_CONVT_GRAD_OFF):
+            kwargs["fast_convt_grad"] = True
+        return cls(**kwargs)
 
     return build
 

@@ -21,9 +21,12 @@ input gradient reuses JAX's native transpose rule (its only reverse is
 the 5x5 kernel).  Gradients agree with the built-in path to float
 reassociation.
 
-Opt-in via ``Config.fastConvTGrad`` until a hardware step-time delta is
-recorded (the fused-decoder campaign showed isolated HBM wins can lose
-in-context; parity here is exact either way).
+Default-ON via ``Config.fastConvTGrad`` for decoder families where the
+hardware A/B measured a win (UnifiedDecoder 5x5 pyramid: 1.08x end-to-end
+on TPU v5e); families where the correlation formulation lowered no better
+than XLA's reverse+conv keep jax's built-in rule (see
+``models/registry._FAST_CONVT_GRAD_OFF``).  ``--no-fast-convt-grad``
+restores the built-in rule everywhere; parity is exact either way.
 """
 
 from __future__ import annotations
