@@ -197,20 +197,32 @@ def main() -> None:
                       batchsize=B, outputWidth=H, outputHeight=H, zDim=128,
                       intermediateResolutions=(16, 16))
         gtr = get_trainer("AAE")(gcfg)
+        # Epoch<=5 parity program (ae_iters=20 -> 41 updates/batch,
+        # `epoch_static(0, "TRAIN")`) is the headline; the steady-state
+        # program (ae_iters=1 -> 22 updates/batch) is measured too, and the
+        # DIFFERENCE isolates the marginal cost of one AE substep inside
+        # the adversarial step — the honest per-update comparison vs AE.
         gholder = [gtr.init_state()]
-        # run with the epoch<=5 parity statics (ae_iters=20) so the
-        # measured program really executes the 41 updates/batch the
-        # per-update division assumes (trainers/AAE.py:85-131)
-        grun = epoch_runner(gtr, gholder, **gtr.epoch_static(0, "train"))
+        grun = epoch_runner(gtr, gholder, **gtr.epoch_static(0, "TRAIN"))
         grun(1)
         aae_sps = _best_throughput(grun, n_slices, 2)
         detail["aae_train_slices_per_sec"] = round(aae_sps, 1)
-        aae_updates_per_batch = 2 * gtr.d_iters + 1  # epoch 0: 20+20+1
+        gholder[0] = gtr.init_state()
+        grun1 = epoch_runner(gtr, gholder, **gtr.epoch_static(9, "TRAIN"))
+        grun1(1)
+        aae_sps1 = _best_throughput(grun1, n_slices, 2)
+        detail["aae_train_slices_per_sec_steady"] = round(aae_sps1, 1)
+        aae_updates_per_batch = 2 * gtr.d_iters + 1  # epoch<=5: 20+20+1
         detail["ae_ms_per_update"] = round(1e3 * B / native_sps, 3)
         detail["aae_ms_per_update"] = round(
             1e3 * B / aae_sps / aae_updates_per_batch, 3)
-        detail["aae_per_update_vs_ae"] = round(
-            (B / aae_sps / aae_updates_per_batch) / (B / native_sps), 3)
+        # marginal AE-substep cost: (batch time at ae_iters=20 minus at
+        # ae_iters=1) / 19 extra substeps
+        substep_ms = 1e3 * B * (1 / aae_sps - 1 / aae_sps1) / (
+            gtr.d_iters - 1)
+        detail["aae_ae_substep_ms"] = round(substep_ms, 3)
+        detail["aae_ae_substep_vs_ae"] = round(
+            substep_ms / (1e3 * B / native_sps), 3)
     except Exception as e:  # pragma: no cover
         detail["gan_bench_error"] = str(e)[:120]
 
