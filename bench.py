@@ -212,17 +212,29 @@ def main() -> None:
         grun1(1)
         aae_sps1 = _best_throughput(grun1, n_slices, 2)
         detail["aae_train_slices_per_sec_steady"] = round(aae_sps1, 1)
-        aae_updates_per_batch = 2 * gtr.d_iters + 1  # epoch<=5: 20+20+1
+        # derive update counts from the programs actually run (ADVICE r4:
+        # do not hard-code the trainer's schedule rule into the bench)
+        ai0 = gtr.epoch_static(0, "TRAIN")["ae_iters"]
+        ai1 = gtr.epoch_static(9, "TRAIN")["ae_iters"]
+        aae_updates_per_batch = ai0 + gtr.d_iters + 1  # AE xN + critic + gen
         detail["ae_ms_per_update"] = round(1e3 * B / native_sps, 3)
         detail["aae_ms_per_update"] = round(
             1e3 * B / aae_sps / aae_updates_per_batch, 3)
-        # marginal AE-substep cost: (batch time at ae_iters=20 minus at
-        # ae_iters=1) / 19 extra substeps
-        substep_ms = 1e3 * B * (1 / aae_sps - 1 / aae_sps1) / (
-            gtr.d_iters - 1)
-        detail["aae_ae_substep_ms"] = round(substep_ms, 3)
-        detail["aae_ae_substep_vs_ae"] = round(
-            substep_ms / (1e3 * B / native_sps), 3)
+        # marginal AE-substep cost: (batch time at ae_iters=ai0 minus at
+        # ae_iters=ai1) / extra substeps.  Best-of-2 throughputs are
+        # independently noisy through the tunnel — a non-positive time
+        # difference means noise dominated; record null + a flag rather
+        # than a negative/inflated substep cost (ADVICE r4).
+        dt_batch = 1 / aae_sps - 1 / aae_sps1
+        if ai0 > ai1 and dt_batch > 0:
+            substep_ms = 1e3 * B * dt_batch / (ai0 - ai1)
+            detail["aae_ae_substep_ms"] = round(substep_ms, 3)
+            detail["aae_ae_substep_vs_ae"] = round(
+                substep_ms / (1e3 * B / native_sps), 3)
+        else:
+            detail["aae_ae_substep_ms"] = None
+            detail["aae_ae_substep_note"] = (
+                "noise-dominated: schedule A/B time difference <= 0")
     except Exception as e:  # pragma: no cover
         detail["gan_bench_error"] = str(e)[:120]
 
@@ -327,8 +339,29 @@ def main() -> None:
                 rr = gmtr.reconstruct(gmstate, gvol)
             _ = float(np.asarray(rr["reconstruction"]).sum())
 
-        detail["gmvae_restoration_volumes_per_sec"] = round(
-            _best_throughput(run_gm, 1, 2), 3)
+        gm_single_vps = _best_throughput(run_gm, 1, 2)
+        detail["gmvae_restoration_volumes_per_sec"] = round(gm_single_vps, 3)
+
+        # the BATCHED path is what the eval driver actually ships
+        # (eval/evaluate.py routes GMVAE through reconstruct_volumes_device
+        # with Options.restorationVolumeBatch=4) — measure it, not just the
+        # single-volume dispatch (VERDICT r4 weak #5)
+        KG = 4
+        gvols = jnp.asarray(host_rng.uniform(
+            0, 1, (KG, 112, H, H, 1)).astype(np.float32))
+        grb = gmtr.reconstruct_volumes_device(gmstate, gvols)  # compile
+        _ = float(jnp.sum(grb["reconstruction"][:, :2, :2, :2]))
+
+        def run_gm_batched(n: int):
+            for _ in range(n):
+                grb = gmtr.reconstruct_volumes_device(gmstate, gvols)
+            _ = float(jnp.sum(grb["reconstruction"][:, :2, :2, :2]))
+
+        gm_batched_vps = _best_throughput(run_gm_batched, KG, 2)
+        detail["gmvae_restoration_batched_volumes_per_sec"] = round(
+            gm_batched_vps, 3)
+        detail["gmvae_restoration_batched_speedup"] = round(
+            gm_batched_vps / gm_single_vps, 2)
     except Exception as e:  # pragma: no cover
         detail["gmvae_bench_error"] = str(e)[:120]
 
@@ -420,6 +453,23 @@ def main() -> None:
     # (134 MB) each step — the profiled HBM bottleneck; the packed head
     # computes at half resolution.  Quality validated against the
     # 18-preset scoreboard (examples/scoreboard_expected.json tolerances).
+    def mfu_of(trainer, holder, sps, prefix):
+        """MFU from XLA cost analysis of the cached whole-epoch program."""
+        idxs0 = jnp.asarray(epoch_indices(host_rng, n_slices, B))
+        jitted_epoch = next(iter(trainer._train_compiler._cache.values()))
+        compiled = jitted_epoch.lower(holder[0], pool, idxs0).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        epoch_flops = float(ca.get("flops", 0.0))
+        dev_kind = jax.devices()[0].device_kind.lower()
+        # per-chip dense peak: v5e 197 TF bf16; v4 275 TF; fallback v5e
+        peak = 197e12 if ("v5" in dev_kind or "lite" in dev_kind) else 275e12
+        if epoch_flops > 0:
+            detail[f"{prefix}_train_epoch_gflops"] = round(epoch_flops / 1e9, 1)
+            detail[f"{prefix}_mfu_pct"] = round(
+                100.0 * epoch_flops * sps / n_slices / peak, 2)
+        return peak, dev_kind
+
     try:
         scfg = cfg.replace(spaceToDepthStem=True, depthToSpaceHead=True)
         stem_tr = get_trainer("AE")(scfg)
@@ -429,6 +479,20 @@ def main() -> None:
         stem_sps = _best_throughput(srun, n_slices, 4)
         detail["fastmode_ae_slices_per_sec"] = round(stem_sps, 1)
         detail["fastmode_speedup"] = round(stem_sps / native_sps, 3)
+        # marginal slope (4- vs 16-epoch runs): device-side rate with the
+        # tunnel's fixed dispatch latency cancelled — the README's fast-mode
+        # device-side claim must come from THIS machine-captured row
+        st4 = time.perf_counter(); srun(4); st4 = time.perf_counter() - st4
+        st16 = time.perf_counter(); srun(16); st16 = time.perf_counter() - st16
+        if st16 > st4:
+            fast_marginal = 12 * n_slices / (st16 - st4)
+            detail["fastmode_ae_slices_per_sec_marginal"] = round(
+                fast_marginal, 1)
+            nm = detail.get("native_ae_slices_per_sec_marginal")
+            if nm:
+                detail["fastmode_speedup_marginal"] = round(
+                    fast_marginal / nm, 3)
+        mfu_of(stem_tr, sholder, stem_sps, "fastmode_ae")
     except Exception as e:  # pragma: no cover
         detail["s2d_bench_error"] = str(e)[:120]
 
@@ -449,25 +513,13 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         detail["convtgrad_bench_error"] = str(e)[:120]
 
-    # ---- MFU of the AE train step (FLOP count from XLA cost analysis)
+    # ---- MFU of the parity AE train step (FLOP count from XLA cost
+    # analysis; the fast-mode MFU is captured in the fast-mode section)
     try:
-        idxs0 = jnp.asarray(epoch_indices(host_rng, n_slices, B))
-        # the EpochCompiler caches the jitted whole-epoch scan; lower it
-        jitted_epoch = next(iter(tr._train_compiler._cache.values()))
-        compiled = jitted_epoch.lower(holder[0], pool, idxs0).compile()
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        epoch_flops = float(ca.get("flops", 0.0))
-        dev_kind = jax.devices()[0].device_kind.lower()
-        # per-chip dense peak: v5e 197 TF bf16; v4 275 TF; fallback v5e
-        peak = 197e12 if ("v5" in dev_kind or "lite" in dev_kind) else 275e12
-        if epoch_flops > 0:
-            detail["ae_train_epoch_gflops"] = round(epoch_flops / 1e9, 1)
-            detail["ae_mfu_pct"] = round(
-                100.0 * epoch_flops * native_sps / n_slices / peak, 2)
-            detail["mfu_flop_model"] = (
-                "XLA cost_analysis flops of the whole-epoch jitted scan / "
-                f"measured epoch time; peak={peak / 1e12:.0f}e12 ({dev_kind})")
+        peak, dev_kind = mfu_of(tr, holder, native_sps, "ae")
+        detail["mfu_flop_model"] = (
+            "XLA cost_analysis flops of the whole-epoch jitted scan / "
+            f"measured epoch time; peak={peak / 1e12:.0f}e12 ({dev_kind})")
     except Exception as e:  # pragma: no cover
         detail["mfu_error"] = str(e)[:120]
 

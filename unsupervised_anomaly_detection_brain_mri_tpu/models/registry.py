@@ -56,6 +56,16 @@ _FAST_CONVT_GRAD_OFF = {
 }
 
 
+def _maybe_fast_convt(kwargs: Dict[str, Any], cls, config: Config) -> None:
+    """Apply the measurement-gated fast-ConvT-gradient flag (shared by every
+    builder so the gate semantics live in exactly one place)."""
+    fields = getattr(cls, "__dataclass_fields__", {})
+    if ("fast_convt_grad" in fields
+            and getattr(config, "fastConvTGrad", False)
+            and cls.__name__ not in _FAST_CONVT_GRAD_OFF):
+        kwargs["fast_convt_grad"] = True
+
+
 def _std(cls):
     def build(config: Config, dtype: Any):
         kwargs = dict(
@@ -74,10 +84,7 @@ def _std(cls):
         if ("depth_to_space_head" in fields
                 and getattr(config, "depthToSpaceHead", False)):
             kwargs["depth_to_space_head"] = True
-        if ("fast_convt_grad" in fields
-                and getattr(config, "fastConvTGrad", False)
-                and cls.__name__ not in _FAST_CONVT_GRAD_OFF):
-            kwargs["fast_convt_grad"] = True
+        _maybe_fast_convt(kwargs, cls, config)
         return cls(**kwargs)
 
     return build
@@ -95,11 +102,7 @@ def _gmvae(cls):
             dropout_rate=config.dropout_rate,
             dtype=dtype,
         )
-        fields = getattr(cls, "__dataclass_fields__", {})
-        if ("fast_convt_grad" in fields
-                and getattr(config, "fastConvTGrad", False)
-                and cls.__name__ not in _FAST_CONVT_GRAD_OFF):
-            kwargs["fast_convt_grad"] = True
+        _maybe_fast_convt(kwargs, cls, config)
         return cls(**kwargs)
 
     return build

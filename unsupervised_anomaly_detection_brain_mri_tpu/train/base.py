@@ -212,8 +212,24 @@ class BaseTrainer:
 
         return step
 
+    #: the only phase strings ``epoch_static`` accepts.  Stringly-typed
+    #: phases already caused one silently wrong measurement (a bench passed
+    #: lowercase "train" and got the steady-state program instead of the
+    #: warmup schedule — docs/STATUS.md, round-4 GAN note), so unknown
+    #: phases now raise instead of returning the no-statics default.
+    VALID_PHASES = ("TRAIN", "VAL")
+
+    @classmethod
+    def check_phase(cls, phase: str) -> str:
+        if phase not in cls.VALID_PHASES:
+            raise ValueError(
+                f"unknown phase {phase!r}; expected one of "
+                f"{cls.VALID_PHASES} (phase strings are case-sensitive)")
+        return phase
+
     def epoch_static(self, epoch: int, phase: str) -> Dict[str, Any]:
         """Static (compile-time) per-epoch step arguments."""
+        self.check_phase(phase)
         return {}
 
     # ------------------------------------------------------------------

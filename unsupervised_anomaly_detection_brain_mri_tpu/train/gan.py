@@ -147,7 +147,7 @@ class AAE(AdversarialTrainerBase):
         return self.ae_loss(outputs, batch)
 
     def epoch_static(self, epoch: int, phase: str) -> Dict[str, Any]:
-        if phase != "TRAIN":
+        if self.check_phase(phase) != "TRAIN":
             return {}
         return {"ae_iters": self.d_iters if epoch <= 5 else 1}
 
@@ -440,7 +440,7 @@ class FAnoGAN(AdversarialTrainerBase):
         return 2 * self.config.numEpochs
 
     def epoch_static(self, epoch: int, phase: str) -> Dict[str, Any]:
-        if phase != "TRAIN":
+        if self.check_phase(phase) != "TRAIN":
             return {}
         return {"phase2": epoch >= self.config.numEpochs}
 
