@@ -1,5 +1,6 @@
 """Round-5 regression tests (VERDICT r4 + ADVICE r4 items)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -11,6 +12,65 @@ def _tiny(trainer="AE", model="autoencoder", **kw):
     cfg = Config(trainer=trainer, model=model, batchsize=2, outputWidth=32,
                  outputHeight=32, zDim=8, numEpochs=1, **kw)
     return get_trainer(trainer)(cfg)
+
+
+class TestMidEpochTensorboard:
+    """Opt-in per-batch TB summaries (VERDICT r4 missing #1): scalars +
+    input|rec|L1 grid every Nth batch from inside the jitted scan, parity
+    with the reference's tfSummaryAfter (`trainers/AEMODEL.py:37-42`)."""
+
+    def test_event_files_contain_mid_epoch_steps(self, tmp_path):
+        from unsupervised_anomaly_detection_brain_mri_tpu.config import Options
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.synthetic import (
+            SYNTH,
+            SyntheticOptions,
+        )
+
+        ds = SYNTH(SyntheticOptions(numPatients=4, imageSize=32, numSlices=8,
+                                    targetSize=32))
+        cfg = Config(trainer="AE", model="autoencoder", batchsize=2,
+                     outputWidth=32, outputHeight=32, zDim=8, numEpochs=1,
+                     compute_dtype="float32")
+        opts = Options(tensorboard=True, tbEveryNBatches=3)
+        tr = get_trainer("AE")(cfg, opts, workdir=str(tmp_path))
+        tr.fit(ds, resume=False)
+
+        from tensorboard.backend.event_processing import event_accumulator
+
+        acc = event_accumulator.EventAccumulator(
+            str(tmp_path / "logs" / "train"),
+            size_guidance={"scalars": 0, "images": 0})
+        acc.Reload()
+        scalar_tags = set(acc.Tags()["scalars"])
+        assert "batch/loss" in scalar_tags, scalar_tags
+        steps = [e.step for e in acc.Scalars("batch/loss")]
+        # batchsize 2 over the TRAIN split -> several batches; every 3rd
+        # global step logs.  Mid-epoch means steps beyond the epoch index.
+        assert steps and all(s % 3 == 0 for s in steps), steps
+        assert max(steps) > 1, steps
+        # the image grid is written at the same mid-epoch steps (plus the
+        # per-epoch visual at step==epoch)
+        img_steps = [e.step for e in acc.Images("reconstruction")]
+        assert any(s in steps for s in img_steps), (img_steps, steps)
+
+    def test_default_epoch_program_has_no_tb_callbacks(self):
+        """tbEveryNBatches=0 (default) must keep the epoch program free of
+        host callbacks (the perf-critical default path)."""
+        import jax.numpy as jnp
+
+        from unsupervised_anomaly_detection_brain_mri_tpu.train.engine import (
+            epoch_indices,
+        )
+
+        tr = _tiny()
+        state = tr.init_state()
+        pool = {"x": jnp.zeros((4, 32, 32, 1), jnp.float32)}
+        idxs = jnp.asarray(epoch_indices(
+            np.random.default_rng(0), 4, 2))
+        jitted = tr._train_compiler._cache.get(()) or tr._train_compiler._build(())
+        text = jax.make_jaxpr(lambda s, p, i: jitted(s, p, i))(
+            state, pool, idxs).pretty_print()
+        assert "callback" not in text.lower(), "default path gained a callback"
 
 
 class TestPhaseGuard:

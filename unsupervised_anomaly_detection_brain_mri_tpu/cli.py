@@ -197,6 +197,12 @@ def make_parser() -> argparse.ArgumentParser:
                         "jitted epoch (async callback; parity with the "
                         "reference's per-batch console logs, "
                         "trainers/AE.py:86).  0 = per-epoch means only")
+    p.add_argument("--tb-every-n", default=0, type=int,
+                   help="emit mid-epoch TensorBoard summaries (scalars + "
+                        "input|rec|L1 image grid) every n-th batch, parity "
+                        "with the reference's tfSummaryAfter "
+                        "(trainers/DLMODEL.py:24).  Implies TensorBoard "
+                        "logging; 0 = per-epoch TB only")
     p.add_argument("--preset", default=None, type=str,
                    help="experiment preset name (mains/ parity)")
     p.add_argument("--workdir", default=None, type=str)
@@ -504,7 +510,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                       # small smoke-run images keep a usable brain area
                       erosionIterations=max(
                           1, (12 * args.outputWidth) // 128),
-                      logEveryNBatches=args.log_every_n)
+                      logEveryNBatches=args.log_every_n,
+                      tbEveryNBatches=args.tb_every_n,
+                      tensorboard=args.tb_every_n > 0)
 
     train_ds_kind = Dataset.SYNTH if args.synthetic else Dataset.BRAINWEB
     dataset_hc = build_dataset(options, config, train_ds_kind, "healthy")

@@ -276,6 +276,11 @@ class Options:
     # (async debug callback) — parity with the reference's per-batch prints
     # (`trainers/AE.py:86`); 0 keeps the epoch program callback-free
     logEveryNBatches: int = 0
+    # opt-in mid-epoch TensorBoard summaries every N batches (scalars +
+    # input|rec|L1 image grid), parity with the reference's
+    # tfSummaryAfter=100 (`trainers/DLMODEL.py:24`, `trainers/AEMODEL.py:
+    # 37-42`); requires tensorboard=True.  0 = per-epoch TB only.
+    tbEveryNBatches: int = 0
 
     def replace(self, **kw: Any) -> "Options":
         return dataclasses.replace(self, **kw)

@@ -82,7 +82,10 @@ class BaseTrainer:
         self.model, self.spec = get_model(config, self.dtype)
         self._train_compiler = EpochCompiler(
             self._build_train_step, mesh,
-            log_every_n=int(getattr(self.options, "logEveryNBatches", 0)))
+            log_every_n=int(getattr(self.options, "logEveryNBatches", 0)),
+            tb_every=int(getattr(self.options, "tbEveryNBatches", 0)),
+            tb_hook=self._tb_batch_log,
+            visual_fn=self._train_visual_fn)
         self._val_compiler = EpochCompiler(self._build_val_step, mesh)
         self._reconstruct_jit: Dict[Any, Callable] = {}
         self.history: List[Dict[str, float]] = []
@@ -416,8 +419,40 @@ class BaseTrainer:
                       f"{c.earlyStoppingPatience} epochs")
                 break
 
+        if getattr(self.options, "tbEveryNBatches", 0) or getattr(
+                self.options, "logEveryNBatches", 0):
+            # the per-batch log/TB paths run as ASYNC debug callbacks;
+            # drain them before returning so event files are complete
+            jax.effects_barrier()
         self.post_fit(dataset, state)
         return state
+
+    def _train_visual_fn(self, state: TrainState, batch: Batch) -> Array:
+        """Jittable eval-mode reconstruction of a few batch slices for the
+        mid-epoch TB image grid (runs under the engine's lax.cond, so only
+        logging batches pay for it)."""
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out = self._reconstruct_outputs(
+            variables, batch["x"][:8], dropout=False, rng=jax.random.key(0))
+        return out["reconstruction"]
+
+    def _tb_batch_log(self, step, metrics, x, rec) -> None:
+        """Host side of the mid-epoch TB path (async debug callback):
+        scalars under batch/<metric> at the GLOBAL step (the per-epoch
+        writers use epoch numbers — separate tags keep the axes distinct)
+        plus the input|rec|L1 grid, parity with `trainers/AEMODEL.py:37-42`.
+        """
+        if self.logger is None:  # pragma: no cover - tbEveryN without TB
+            return
+        step = int(step)
+        self.logger.log_scalars(
+            step, {f"batch/{k}": float(v) for k, v in metrics.items()
+                   if np.ndim(v) == 0}, "TRAIN")
+        self.logger.log_visuals(step, np.asarray(x), np.asarray(rec),
+                                "TRAIN")
+        self.logger.flush()
 
     def log_epoch(self, epoch: int, phase: str, metrics: Dict[str, float],
                   state: TrainState, pool: Optional[Batch]) -> None:

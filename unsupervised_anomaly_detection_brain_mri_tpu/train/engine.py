@@ -44,11 +44,23 @@ class EpochCompiler:
     from INSIDE the jitted scan via an async ``jax.debug.callback`` —
     opt-in parity with the reference's per-batch prints
     (`trainers/AE.py:86`); the default epoch program stays callback-free.
+
+    ``tb_every`` > 0 additionally emits mid-epoch TensorBoard summaries —
+    scalars plus an input|reconstruction|L1 image grid — every n-th batch,
+    parity with the reference's ``tfSummaryAfter``-gated
+    ``log_to_tensorboard`` (`trainers/AEMODEL.py:37-42`,
+    `trainers/DLMODEL.py:24`).  The grid's reconstruction comes from
+    ``visual_fn(state, batch)`` (an eval-mode forward on a few slices),
+    computed under a ``lax.cond`` so non-logging batches pay nothing; the
+    host write happens in the async ``tb_hook`` callback.
     """
 
     step_builder: Callable[..., StepFn]
     mesh: Optional[MeshContext] = None
     log_every_n: int = 0
+    tb_every: int = 0
+    tb_hook: Optional[Callable] = None
+    visual_fn: Optional[Callable] = None
 
     def __post_init__(self) -> None:
         self._cache: Dict[Any, Callable] = {}
@@ -56,6 +68,7 @@ class EpochCompiler:
     def _build(self, static_key: Tuple) -> Callable:
         step = self.step_builder(**dict(static_key))
         every = int(self.log_every_n)
+        tb_every = int(self.tb_every) if self.tb_hook is not None else 0
 
         def _host_log(step_no, metrics):  # pragma: no cover - host print
             if int(step_no) % every == 0:
@@ -74,6 +87,19 @@ class EpochCompiler:
                 state, metrics = step(state, batch)
                 if every > 0:
                     jax.debug.callback(_host_log, state.step, metrics)
+                if tb_every > 0:
+                    def _emit(_):
+                        x = batch["x"][:8]
+                        rec = (self.visual_fn(state, batch)
+                               if self.visual_fn is not None else x)
+                        jax.debug.callback(self.tb_hook, state.step,
+                                           metrics, x, rec[:8])
+                        return 0
+                    # lax.cond executes only the taken branch: non-logging
+                    # batches run neither the visual forward nor the
+                    # device->host image transfer
+                    jax.lax.cond(state.step % tb_every == 0,
+                                 _emit, lambda _: 0, 0)
                 return state, metrics
 
             state, metrics = jax.lax.scan(body, state, idxs)
