@@ -203,6 +203,11 @@ def make_parser() -> argparse.ArgumentParser:
                         "with the reference's tfSummaryAfter "
                         "(trainers/DLMODEL.py:24).  Implies TensorBoard "
                         "logging; 0 = per-epoch TB only")
+    p.add_argument("--stream-pool", action="store_true",
+                   help="stream the training pool in host-prefetched "
+                        "device chunks instead of keeping it whole in HBM "
+                        "(automatic above "
+                        "Options.streamPoolThresholdMB; identical updates)")
     p.add_argument("--preset", default=None, type=str,
                    help="experiment preset name (mains/ parity)")
     p.add_argument("--workdir", default=None, type=str)
@@ -512,7 +517,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                           1, (12 * args.outputWidth) // 128),
                       logEveryNBatches=args.log_every_n,
                       tbEveryNBatches=args.tb_every_n,
-                      tensorboard=args.tb_every_n > 0)
+                      tensorboard=args.tb_every_n > 0,
+                      streamPool=args.stream_pool)
 
     train_ds_kind = Dataset.SYNTH if args.synthetic else Dataset.BRAINWEB
     dataset_hc = build_dataset(options, config, train_ds_kind, "healthy")

@@ -269,6 +269,19 @@ class Options:
     # own restoration-batch scale); 1 restores volumes sequentially.
     restorationVolumeBatch: int = 4
 
+    # training pool residency.  By default the whole slice pool is uploaded
+    # once and lives in HBM (the fastest path at reference scale, ~100 MB).
+    # When the pool exceeds streamPoolThresholdMB — or streamPool is set —
+    # epochs instead scan over host-prefetched device-resident CHUNKS of
+    # streamPoolChunkBatches batches each (the next chunk's upload overlaps
+    # the current chunk's compute), so fit() has no HBM capacity cliff.
+    # Update/rng semantics are identical to the resident pool (parity
+    # tested); the reference streamed from host every batch
+    # (`dataloaders/BRAINWEB.py:411-478`) and had no cliff either.
+    streamPool: bool = False
+    streamPoolThresholdMB: float = 4096.0
+    streamPoolChunkBatches: int = 64
+
     # logging / profiling
     tensorboard: bool = False
     profileDir: Optional[str] = None  # jax.profiler trace of the first epoch

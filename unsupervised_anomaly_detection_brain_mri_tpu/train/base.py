@@ -294,13 +294,64 @@ class BaseTrainer:
     # fit loop
 
     def _pool_from_dataset(self, dataset, split: str) -> Optional[Batch]:
+        """Slice pool for a split.  Host-resident (numpy) when the streaming
+        path will drive this split, device-resident otherwise."""
         arr = dataset.slices(split)
         if arr is None or len(arr) == 0:
             return None
-        pool: Batch = {"x": jnp.asarray(arr)}
+        pool = {"x": np.asarray(arr)}
         if self.needs_brainmask:
-            pool["mask"] = jnp.asarray(dataset.brainmasks(split))
-        return pool
+            pool["mask"] = np.asarray(dataset.brainmasks(split))
+        if self._stream_pool(pool):
+            return pool  # keep on host; epochs stream chunks
+        return {k: jnp.asarray(v) for k, v in pool.items()}
+
+    def _stream_pool(self, host_pool: Dict[str, np.ndarray]) -> bool:
+        o = self.options
+        if getattr(o, "streamPool", False):
+            return True
+        nbytes = sum(v.nbytes for v in host_pool.values())
+        return nbytes > float(
+            getattr(o, "streamPoolThresholdMB", 4096.0)) * 2 ** 20
+
+    def _run_epoch(self, compiler: EpochCompiler, state: TrainState,
+                   pool: Batch, idxs: np.ndarray, static: Dict[str, Any]):
+        """One epoch through ``compiler`` — resident pool (whole-pool scan)
+        or, for host pools, the chunked streaming path: gather each chunk's
+        slices on host in permutation order, upload, and run the SAME jitted
+        scan over local indices.  The next chunk's host gather + upload
+        overlaps the current chunk's (asynchronously dispatched) compute.
+        State threads through the chained scans exactly as through one
+        whole-pool scan (same rng splits, same update order), so streaming
+        is bit-identical to the resident pool (parity tested)."""
+        if isinstance(next(iter(pool.values())), jnp.ndarray):
+            self.streamed_last_epoch = False
+            return compiler(state, pool, jnp.asarray(idxs), **static)
+
+        self.streamed_last_epoch = True
+        chunk = max(1, int(getattr(self.options, "streamPoolChunkBatches",
+                                   64)))
+        rows_list = [idxs[i:i + chunk] for i in range(0, len(idxs), chunk)]
+
+        def make_chunk(rows: np.ndarray):
+            flat = rows.reshape(-1)
+            cpool = {k: jnp.asarray(v[flat]) for k, v in pool.items()}
+            local = jnp.asarray(np.arange(flat.size, dtype=np.int32)
+                                .reshape(rows.shape))
+            return cpool, local
+
+        nxt = make_chunk(rows_list[0])
+        weighted: List[Tuple[Dict[str, Array], int]] = []
+        for ci, rows in enumerate(rows_list):
+            cpool, local = nxt
+            state, metrics = compiler(state, cpool, local, **static)
+            if ci + 1 < len(rows_list):  # prefetch while the device works
+                nxt = make_chunk(rows_list[ci + 1])
+            weighted.append((metrics, len(rows)))
+        total = sum(w for _, w in weighted)
+        combined = {k: sum(m[k] * (w / total) for m, w in weighted)
+                    for k in weighted[0][0]}
+        return state, combined
 
     def fit(self, dataset, state: Optional[TrainState] = None,
             resume: bool = True) -> TrainState:
@@ -350,6 +401,12 @@ class BaseTrainer:
                 "training split is empty — check the dataset partition and "
                 "slice range (sliceStart/sliceEnd vs volume depth)")
         n_train = int(train_pool["x"].shape[0])
+        if isinstance(train_pool["x"], np.ndarray):
+            mb = sum(v.nbytes for v in train_pool.values()) / 2 ** 20
+            print(f"[stream-pool] training pool ({mb:.0f} MB) streams in "
+                  f"chunks of "
+                  f"{getattr(self.options, 'streamPoolChunkBatches', 64)} "
+                  "batches (host prefetch overlaps device compute)")
 
         for epoch in range(start_epoch, self.num_epochs()):
             t0 = time.time()
@@ -366,9 +423,9 @@ class BaseTrainer:
             if getattr(self.options, "profileDir", None) and epoch == start_epoch:
                 profile_ctx = jax.profiler.trace(self.options.profileDir)
                 profile_ctx.__enter__()
-            state, metrics = self._train_compiler(
-                state, train_pool, jnp.asarray(idxs),
-                **self.epoch_static(epoch, "TRAIN"))
+            state, metrics = self._run_epoch(
+                self._train_compiler, state, train_pool, idxs,
+                self.epoch_static(epoch, "TRAIN"))
             if profile_ctx is not None:
                 jax.tree_util.tree_map(
                     lambda a: a.block_until_ready(), state.params)
@@ -391,9 +448,9 @@ class BaseTrainer:
                 vidx = epoch_indices(host_rng, int(val_pool["x"].shape[0]),
                                      c.batchsize, shuffle=False)
                 if vidx.size:
-                    state, vmetrics = self._val_compiler(
-                        state, val_pool, jnp.asarray(vidx),
-                        **self.epoch_static(epoch, "VAL"))
+                    state, vmetrics = self._run_epoch(
+                        self._val_compiler, state, val_pool, vidx,
+                        self.epoch_static(epoch, "VAL"))
                     vmetrics = {k: float(v) for k, v in vmetrics.items()}
                     print(f"Epoch (val):   [{epoch:3d}] "
                           + " ".join(f"{k}: {v:.6f}"
