@@ -69,6 +69,12 @@ def _comparable_settings(tokens) -> dict:
     for tok in (str(t) for t in tokens):
         if tok.startswith("-") and not tok[1:2].isdigit():
             base = aliases.get(tok.split("=", 1)[0], tok.split("=", 1)[0])
+            if base in ("--tpu-fast", "--parity"):
+                # the execution profile is compared explicitly (the
+                # scoreboard's _profile vs the table's "profile") — it is
+                # backend-defaulted, so flag presence alone is meaningless
+                flag, skip_value = None, False
+                continue
             if base == "--config" or base == "-c" or (
                     tok.startswith("-c") and not tok.startswith("--")
                     and len(tok) > 2):
@@ -107,6 +113,15 @@ def compare_scoreboard(scoreboard: dict, expected: dict) -> list:
         return [f"backend mismatch: scoreboard ran on {got_backend!r} but "
                 f"the expected table was recorded on {exp_backend!r} — "
                 f"regenerate the table with --scoreboard on this backend"]
+    exp_profile = expected.get("profile")
+    got_profile = scoreboard.get("_profile")
+    if exp_profile and got_profile and exp_profile != got_profile:
+        # the fast profile is a different architecture (s2d stem + d2s
+        # head); its metrics have their own expected table
+        return [f"profile mismatch: scoreboard ran the {got_profile!r} "
+                f"profile but the expected table was recorded with "
+                f"{exp_profile!r} — check against the matching "
+                f"scoreboard_expected*.json (or pass --parity/--tpu-fast)"]
     exp_settings = expected.get("settings")
     got_settings = scoreboard.get("_settings")
     if exp_settings and got_settings is not None and (
@@ -180,8 +195,16 @@ def main() -> int:
     if collect:
         import jax
 
+        from unsupervised_anomaly_detection_brain_mri_tpu.cli import (
+            make_parser,
+            resolve_tpu_fast,
+        )
+
         scoreboard["_backend"] = jax.default_backend()
         scoreboard["_settings"] = list(passthrough)
+        ns, _ = make_parser().parse_known_args(list(passthrough))
+        scoreboard["_profile"] = ("tpu-fast" if resolve_tpu_fast(
+            ns.tpu_fast, ns.parity) else "parity")
     failed = []
     for name in presets:
         print(f"\n===== {name} =====")
