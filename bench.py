@@ -454,20 +454,29 @@ def main() -> None:
     # computes at half resolution.  Quality validated against the
     # 18-preset scoreboard (examples/scoreboard_expected.json tolerances).
     def mfu_of(trainer, holder, sps, prefix):
-        """MFU from XLA cost analysis of the cached whole-epoch program."""
+        """MFU from XLA cost analysis of the cached whole-epoch program.
+
+        XLA's cost_analysis counts a ``lax.scan`` body ONCE, independent of
+        trip count (pinned by tests/test_round5_fixes.py::
+        test_cost_analysis_counts_scan_body_once), so the reported flops are
+        PER-BATCH: MFU = step_flops * steps_per_sec / peak
+                       = step_flops * (sps / B) / peak.
+        (Rounds <=4 divided by n_slices instead of B, understating MFU by
+        the epoch's batch count, 8x: the r4 "3.33%" is really ~27%.)
+        """
         idxs0 = jnp.asarray(epoch_indices(host_rng, n_slices, B))
         jitted_epoch = next(iter(trainer._train_compiler._cache.values()))
         compiled = jitted_epoch.lower(holder[0], pool, idxs0).compile()
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        epoch_flops = float(ca.get("flops", 0.0))
+        step_flops = float(ca.get("flops", 0.0))
         dev_kind = jax.devices()[0].device_kind.lower()
         # per-chip dense peak: v5e 197 TF bf16; v4 275 TF; fallback v5e
         peak = 197e12 if ("v5" in dev_kind or "lite" in dev_kind) else 275e12
-        if epoch_flops > 0:
-            detail[f"{prefix}_train_epoch_gflops"] = round(epoch_flops / 1e9, 1)
+        if step_flops > 0:
+            detail[f"{prefix}_train_step_gflops"] = round(step_flops / 1e9, 1)
             detail[f"{prefix}_mfu_pct"] = round(
-                100.0 * epoch_flops * sps / n_slices / peak, 2)
+                100.0 * step_flops * sps / B / peak, 2)
         return peak, dev_kind
 
     try:
@@ -518,8 +527,10 @@ def main() -> None:
     try:
         peak, dev_kind = mfu_of(tr, holder, native_sps, "ae")
         detail["mfu_flop_model"] = (
-            "XLA cost_analysis flops of the whole-epoch jitted scan / "
-            f"measured epoch time; peak={peak / 1e12:.0f}e12 ({dev_kind})")
+            "XLA cost_analysis flops of the epoch scan BODY (= one batch; "
+            "cost_analysis counts scan bodies once, trip-count-invariant) "
+            "* measured steps/sec; "
+            f"peak={peak / 1e12:.0f}e12 ({dev_kind})")
     except Exception as e:  # pragma: no cover
         detail["mfu_error"] = str(e)[:120]
 

@@ -226,3 +226,31 @@ class TestPhaseGuard:
         with pytest.raises(ValueError, match="unknown phase"):
             tr.epoch_static(0, "Train")
         assert tr.epoch_static(0, "TRAIN") == {"phase2": False}
+
+
+class TestMfuFlopModel:
+    """bench.py's MFU formula assumes XLA cost_analysis counts a lax.scan
+    body ONCE, independent of trip count (so the epoch program's reported
+    flops are per-batch).  Rounds <=4 assumed the opposite and understated
+    MFU by the epoch's batch count (8x).  Pin the semantics so a JAX/XLA
+    change flips this test, not the published numbers."""
+
+    def test_cost_analysis_counts_scan_body_once(self):
+        import jax.numpy as jnp
+
+        def flops_of(length):
+            def body(c, _):
+                return c @ c, None
+
+            f = jax.jit(
+                lambda x: jax.lax.scan(body, x, None, length=length)[0])
+            c = f.lower(jnp.ones((64, 64), jnp.float32)).compile()
+            ca = c.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            return float(ca.get("flops", 0.0))
+
+        f2, f8 = flops_of(2), flops_of(8)
+        assert f2 > 0
+        assert f2 == f8, (
+            "XLA cost_analysis now scales scan flops with trip count; "
+            "bench.py::mfu_of must divide by n_slices, not batch")
