@@ -18,6 +18,10 @@ the marginal slope between a K_LO and a K_HI run — the remote tunnel's
 fixed dispatch/fetch latency cancels.
 
 Usage:  python tools/parity_stage_roofline.py [--batch 128] [--image 128]
+                                              [--fast]
+``--fast`` rooflines the shipped fast-profile stages instead (s2d stem,
+d2s head, reverse-free ConvT grad — the TPU-default execution profile):
+is the default profile also at its bandwidth floor, or is there headroom?
 Prints a markdown table + one JSON line.
 """
 
@@ -66,6 +70,24 @@ class DecoderLastStage(nn.Module):
                          epsilon=1e-3, dtype=self.dtype)(x)
         x = leaky_relu(x)
         return nn.Conv(1, (1, 1), dtype=self.dtype, name="out")(x)
+
+
+class D2SHeadStage(nn.Module):
+    """The fast profile's replacement for DecoderLastStage: Conv(3x3,
+    4*C_out) at HALF resolution + depth-to-space(2x2) — the 134 MB tensor
+    never exists (`models/layers.py::UnifiedDecoder`, packed head)."""
+
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = True):
+        from unsupervised_anomaly_detection_brain_mri_tpu.models.layers import (
+            depth_to_space,
+        )
+
+        x = nn.Conv(4, (3, 3), padding="SAME", dtype=self.dtype,
+                    name="head")(x)
+        return depth_to_space(x, 2)
 
 
 def _stage_program(module, x, call_kw, seed=0):
@@ -131,6 +153,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--image", type=int, default=128)
+    ap.add_argument("--fast", action="store_true",
+                    help="roofline the fast-profile stages (s2d stem, "
+                         "d2s head, reverse-free ConvT grad)")
     args = ap.parse_args()
     B, H = args.batch, args.image
     dev_kind = jax.devices()[0].device_kind.lower()
@@ -149,18 +174,35 @@ def main():
     x_half = jnp.asarray(rng.uniform(
         0, 1, (B, H // 2, H // 2, 32)).astype(np.float32))
 
-    stages = [
-        ("encoder 128^2->8^2", UnifiedEncoder(H, inter, dtype=jnp.bfloat16),
-         x_img, {"train": True}),
-        ("bottleneck (dense z=128)", DenseBottleneck(128, 0.2,
-                                                     dtype=jnp.bfloat16),
-         h_lat, {"dropout": False}),
-        ("decoder 8^2->128^2", UnifiedDecoder(H, 1, inter,
-                                              dtype=jnp.bfloat16), h_lat,
-         {"train": True}),
-        ("decoder LAST stage (64^2->128^2)", DecoderLastStage(), x_half,
-         {"train": True}),
-    ]
+    if args.fast:
+        stages = [
+            ("encoder 128^2->8^2 (s2d stem)",
+             UnifiedEncoder(H, inter, space_to_depth_stem=True,
+                            dtype=jnp.bfloat16), x_img, {"train": True}),
+            ("bottleneck (dense z=128)", DenseBottleneck(128, 0.2,
+                                                         dtype=jnp.bfloat16),
+             h_lat, {"dropout": False}),
+            ("decoder 8^2->128^2 (d2s head)",
+             UnifiedDecoder(H, 1, inter, depth_to_space_head=True,
+                            fast_convt_grad=True, dtype=jnp.bfloat16),
+             h_lat, {"train": True}),
+            ("decoder HEAD stage (d2s, computed at 64^2)", D2SHeadStage(),
+             x_half, {"train": True}),
+        ]
+    else:
+        stages = [
+            ("encoder 128^2->8^2",
+             UnifiedEncoder(H, inter, dtype=jnp.bfloat16),
+             x_img, {"train": True}),
+            ("bottleneck (dense z=128)", DenseBottleneck(128, 0.2,
+                                                         dtype=jnp.bfloat16),
+             h_lat, {"dropout": False}),
+            ("decoder 8^2->128^2", UnifiedDecoder(H, 1, inter,
+                                                  dtype=jnp.bfloat16), h_lat,
+             {"train": True}),
+            ("decoder LAST stage (64^2->128^2)", DecoderLastStage(), x_half,
+             {"train": True}),
+        ]
 
     rows, total_ms = [], 0.0
     for name, module, xin, call_kw in stages:
@@ -182,7 +224,7 @@ def main():
             "pct_of_lightspeed": round(
                 100 * max(t_comp, t_bw) / t, 1),
         })
-        if "LAST" not in name:
+        if "LAST" not in name and "HEAD stage" not in name:
             total_ms += 1e3 * t
 
     print("\n| stage | measured ms | GFLOP | GB | compute ceil ms | "
@@ -197,6 +239,7 @@ def main():
               f"{r['bandwidth_ceiling_ms']} | {r['bound']} | "
               f"{r['pct_of_lightspeed']} |")
     print(json.dumps({"device": dev_kind, "batch": B, "image": H,
+                      "profile": "fast" if args.fast else "parity",
                       "stages": rows,
                       "stage_sum_ms": round(total_ms, 3)}))
 
