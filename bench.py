@@ -46,8 +46,16 @@ TRIALS = 2  # best-of-2: bounded runtime under the driver's bench timeout
 # deliver the signal to the main thread.  Normal warm runtime is ~350 s
 # (persistent compilation cache).
 WATCHDOG_SECS = int(os.environ.get("UADMRI_BENCH_WATCHDOG_SECS", "540"))
-_partial = {"value": None, "vs_baseline": None, "detail": None}
+_partial = {"value": None, "vs_baseline": None, "detail": None,
+            "section": "startup"}
 _reported = threading.Event()
+
+
+def _section(name: str) -> None:
+    """Mark the bench section now in flight, so a watchdog-emitted partial
+    record says WHERE the tunnel hang happened (and that the in-flight
+    section's own rows may be noise-poisoned by the degrading tunnel)."""
+    _partial["section"] = name
 
 
 def _emit_headline(note: str) -> None:
@@ -64,9 +72,11 @@ def _emit_headline(note: str) -> None:
 
 
 def _hang_note() -> str:
-    return ("tunnel hang - partial results" if _partial["value"] is not None
-            else "device unreachable - no measurement completed "
-                 "(remote-TPU tunnel down?)")
+    if _partial["value"] is not None:
+        return (f"tunnel hang during [{_partial['section']}] - partial "
+                f"results; rows from that section may be noise-poisoned")
+    return ("device unreachable - no measurement completed "
+            "(remote-TPU tunnel down?)")
 
 
 def _watchdog(signum, frame):  # pragma: no cover - only fires on hangs
@@ -129,6 +139,7 @@ def main() -> None:
 
     # ================= family rows (flushed before ANY experimental bench)
 
+    _section("ae_headline")
     # ---- TPU-native AE path (headline)
     cfg = Config(trainer="AE", model="autoencoder", batchsize=B,
                  outputWidth=H, outputHeight=H, zDim=128, numEpochs=1)
@@ -150,6 +161,7 @@ def main() -> None:
         detail["native_ae_slices_per_sec_marginal"] = round(
             12 * n_slices / (t16 - t4), 1)
 
+    _section("tf1_baseline")
     # ---- TF1-shaped baseline: per-batch host feed + fetch, f32
     cfg_b = cfg.replace(compute_dtype="float32")
     tr_b = get_trainer("AE")(cfg_b)
@@ -174,6 +186,7 @@ def main() -> None:
         "TF1-shaped baseline is tunnel-latency dominated (per-step "
         "host feed + fetch); vs_baseline varies with tunnel conditions")
 
+    _section("vae")
     # ---- VAE path (BASELINE.md names AE & VAE)
     try:
         vcfg = Config(trainer="VAE", model="variational_autoencoder",
@@ -187,6 +200,7 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         detail["vae_bench_error"] = str(e)[:120]
 
+    _section("aae")
     # ---- AAE (WGAN-GP latent critic), plus the per-model-update
     # comparison against AE: the parity schedule runs 41 updates/batch at
     # epoch<=5 (AE x20 + critic x20 + generator x1, `trainers/AAE.py:
@@ -238,6 +252,7 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         detail["gan_bench_error"] = str(e)[:120]
 
+    _section("fanogan")
     # ---- fAnoGAN two-phase training (the most schedule-complex trainer:
     # phase 1 WGAN-GP with 5 critic iters/batch incl. grad-of-grad GP,
     # phase 2 izif encoder; `trainers/fAnoGAN.py:87-210`) and AnoVAEGAN
@@ -281,6 +296,7 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         detail["fanogan_bench_error"] = str(e)[:120]
 
+    _section("vae_you_restoration")
     # ---- VAE_You 150-step input-gradient restoration: single volume AND
     # the cross-volume batched path the eval driver uses
     # (Options.restorationVolumeBatch, vmapped restoration loop)
@@ -322,6 +338,7 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         detail["restoration_bench_error"] = str(e)[:120]
 
+    _section("gmvae_restoration")
     # ---- GMVAE_spatial 150-step restoration eval (the reference's other
     # restoration hot loop, `trainers/GMVAE.py:166-197`; preset restore
     # steps 150 for the spatial variant)
@@ -365,6 +382,7 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         detail["gmvae_bench_error"] = str(e)[:120]
 
+    _section("pallas_median")
     # ---- Pallas vs XLA 5^3 median filter on a 112-slice volume
     from unsupervised_anomaly_detection_brain_mri_tpu.ops.pallas_median import (
         median_filter_3d_auto,
@@ -403,6 +421,7 @@ def main() -> None:
     # bisection median dominates the postprocess cost, and the production
     # ConvT path beats the fused decoder end-to-end.  See docs/STATUS.md.)
 
+    _section("eval_pipeline")
     # ---- full on-device eval post-processing wall-clock (warm):
     # residual -> erosion-masked -> prior -> median -> curve summary -> CC
     # filter -> detection counts on a 4-patient x 112-slice cohort
@@ -448,6 +467,7 @@ def main() -> None:
 
     # ============ experimental tail (everything above already flushed)
 
+    _section("fastmode")
     # ---- opt-in NON-PARITY perf mode (--tpu-fast): s2d stem + d2s head.
     # The parity decoder materialises a 128x128x128x32 bf16 feature map
     # (134 MB) each step — the profiled HBM bottleneck; the packed head
@@ -505,6 +525,7 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         detail["s2d_bench_error"] = str(e)[:120]
 
+    _section("convt_ablation")
     # ---- reverse-free ConvT kernel-gradient ablation (ops/convt.py,
     # default ON; the headline row above includes it): the same epoch
     # through jax's built-in transpose rule, whose XLA lowering
@@ -522,6 +543,7 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         detail["convtgrad_bench_error"] = str(e)[:120]
 
+    _section("mfu")
     # ---- MFU of the parity AE train step (FLOP count from XLA cost
     # analysis; the fast-mode MFU is captured in the fast-mode section)
     try:
