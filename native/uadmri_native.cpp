@@ -157,6 +157,45 @@ int uad_write_cache(const char* path, const float* images,
   return 0;
 }
 
+// CRC32C (Castagnoli, reflected poly 0x82F63B78) — the checksum of the
+// TFRecord framing (`utils/tfrecord_utils.py` wrote TFRecord slice caches;
+// `data/tfrecord.py` reads/writes them without TensorFlow and verifies
+// payloads through this slice-by-8 table implementation).
+static uint32_t kCrcTab[8][256];
+static bool crc_init() {
+  for (uint32_t i = 0; i < 256; ++i) {
+    uint32_t c = i;
+    for (int k = 0; k < 8; ++k) c = (c >> 1) ^ ((c & 1) ? 0x82F63B78u : 0u);
+    kCrcTab[0][i] = c;
+  }
+  for (uint32_t i = 0; i < 256; ++i)
+    for (int t = 1; t < 8; ++t)
+      kCrcTab[t][i] =
+          (kCrcTab[t - 1][i] >> 8) ^ kCrcTab[0][kCrcTab[t - 1][i] & 0xFF];
+  return true;
+}
+static const bool kCrcReady = crc_init();
+
+uint32_t uad_crc32c(const uint8_t* data, int64_t n, uint32_t seed) {
+  (void)kCrcReady;
+  uint32_t crc = ~seed;
+  while (n >= 8) {
+    uint32_t lo;
+    uint32_t hi;
+    std::memcpy(&lo, data, 4);
+    std::memcpy(&hi, data + 4, 4);
+    lo ^= crc;
+    crc = kCrcTab[7][lo & 0xFF] ^ kCrcTab[6][(lo >> 8) & 0xFF] ^
+          kCrcTab[5][(lo >> 16) & 0xFF] ^ kCrcTab[4][lo >> 24] ^
+          kCrcTab[3][hi & 0xFF] ^ kCrcTab[2][(hi >> 8) & 0xFF] ^
+          kCrcTab[1][(hi >> 16) & 0xFF] ^ kCrcTab[0][hi >> 24];
+    data += 8;
+    n -= 8;
+  }
+  while (n-- > 0) crc = (crc >> 8) ^ kCrcTab[0][(crc ^ *data++) & 0xFF];
+  return ~crc;
+}
+
 int uad_read_cache_header(const char* path, int64_t* n, int32_t* h,
                           int32_t* w) {
   FILE* f = std::fopen(path, "rb");

@@ -70,6 +70,10 @@ class BaseOptions:
     sliceEnd: int = 130
     format: str = "raw"
     seed: int = 42
+    # Path to a reference-written TFRecord slice cache to import instead of
+    # re-preprocessing (`utils/tfrecord_utils.py` format).  None = auto-
+    # discover a unique `<NAME>*.tfrecord` in the dataset/cache dir.
+    importTFRecord: Optional[str] = None
 
 
 class BaseDataset:
@@ -333,6 +337,10 @@ class BaseDataset:
             self._labels = blob["labels"]
             self._sets = blob["sets"]
             return
+        if self._try_import_reference_tfrecord():
+            if o.cache:
+                self._write_cache()  # one-time import: next load is mmap
+            return
         self._crop_rng = np.random.default_rng(o.seed + 2)
         images, labels, sets = [], [], []
         for patient in self.patients:
@@ -358,19 +366,89 @@ class BaseDataset:
                         if labels else np.zeros((0, 1, 1), np.float32))
         self._sets = np.asarray(sets, np.int32)
         if o.cache:
-            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            from unsupervised_anomaly_detection_brain_mri_tpu.data import (
-                native,
-            )
+            self._write_cache()
 
-            if native.available() and len(self._images):
-                # native binary cache: mmap-able on reload (zero-copy)
-                native.write_cache(
-                    native_path, self._images[..., 0], self._labels,
-                    self._sets)
-            else:
-                np.savez_compressed(path, images=self._images,
-                                    labels=self._labels, sets=self._sets)
+    def _write_cache(self) -> None:
+        path = self.cache_path()
+        native_path = path.replace(".npz", ".uadc")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        from unsupervised_anomaly_detection_brain_mri_tpu.data import (
+            native,
+        )
+
+        if native.available() and len(self._images):
+            # native binary cache: mmap-able on reload (zero-copy)
+            native.write_cache(
+                native_path, self._images[..., 0], self._labels,
+                self._sets)
+        else:
+            np.savez_compressed(path, images=self._images,
+                                labels=self._labels, sets=self._sets)
+
+    # ------------------------------------------------------------------
+    # reference TFRecord slice-cache interchange
+
+    def _try_import_reference_tfrecord(self) -> bool:
+        """Load the slice pool from a reference-written TFRecord cache
+        (`utils/tfrecord_utils.py:36-52`) so a user migrating from the
+        reference reuses their preprocessed caches instead of
+        re-preprocessing.  Explicit ``Options.importTFRecord`` wins; else
+        a UNIQUE `<NAME>*.tfrecord` in the dataset/cache dir is imported
+        (several candidates = ambiguous; none is guessed).  The imported
+        pool is trusted as-is — it embodies the options it was built
+        with, which the filename encodes (`BRAINWEB.py:358-381`)."""
+        import glob as _glob
+        import logging
+
+        o = self.options
+        tfr = o.importTFRecord
+        if tfr:
+            if not os.path.isfile(tfr):
+                raise FileNotFoundError(
+                    f"importTFRecord points at a missing file: {tfr}")
+        else:
+            if not o.cache:  # cache=False means ignore found caches
+                return False
+            candidates: List[str] = []
+            for root in {o.dir, o.cacheDir or o.dir}:
+                candidates += _glob.glob(
+                    os.path.join(root, f"{self.name}*.tfrecord"))
+            candidates = sorted(set(candidates))
+            if len(candidates) > 1:
+                logging.getLogger(__name__).warning(
+                    "%s: several reference TFRecord caches found (%s); "
+                    "set Options.importTFRecord to pick one",
+                    self.name, ", ".join(candidates))
+                return False
+            if not candidates:
+                return False
+            tfr = candidates[0]
+        from unsupervised_anomaly_detection_brain_mri_tpu.data import (
+            tfrecord,
+        )
+
+        images, labels, sets = tfrecord.read_tf_record(tfr)
+        logging.getLogger(__name__).info(
+            "%s: imported %d slices from reference TFRecord cache %s",
+            self.name, images.shape[0], tfr)
+        self._images = images.astype(np.float32, copy=False)
+        self._labels = labels[..., 0].astype(np.float32, copy=False)
+        self._sets = sets.reshape(-1).astype(np.int32, copy=False)
+        return True
+
+    def export_tfrecord(self, path: Optional[str] = None) -> str:
+        """Write the in-memory slice pool as a reference-compatible
+        TFRecord (`utils/tfrecord_utils.py:14-33` schema) — the reverse
+        migration: caches preprocessed HERE load in the reference."""
+        from unsupervised_anomaly_detection_brain_mri_tpu.data import (
+            tfrecord,
+        )
+
+        if path is None:
+            path = self.cache_path().replace(".npz", ".tfrecord")
+        tfrecord.write_tf_record(self._images, self._labels, self._sets,
+                                 path)
+        return path
 
     # ------------------------------------------------------------------
     # pool API (jitted epoch engine)

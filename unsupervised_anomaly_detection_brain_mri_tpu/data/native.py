@@ -74,6 +74,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
         lib.uad_read_cache_header.restype = ctypes.c_int
+        if hasattr(lib, "uad_crc32c"):  # absent in pre-round-5 .so builds
+            lib.uad_crc32c.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_uint32]
+            lib.uad_crc32c.restype = ctypes.c_uint32
         _LIB = lib
         return _LIB
 
@@ -119,6 +124,19 @@ def resize_nearest(src: np.ndarray, dh: int, dw: int) -> np.ndarray:
     lib.uad_resize_nearest(_f32p(src), src.shape[0], src.shape[1],
                            _f32p(dst), dh, dw)
     return dst
+
+
+def crc32c(data, seed: int = 0) -> Optional[int]:
+    """CRC32C (Castagnoli) of a bytes-like object via the native lib;
+    None when the lib (or the symbol, in a stale .so) is unavailable —
+    callers fall back to `data/tfrecord.py`'s table implementation."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "uad_crc32c"):
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    return int(lib.uad_crc32c(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size,
+        ctypes.c_uint32(seed)))
 
 
 def write_cache(path: str, images: np.ndarray, labels: np.ndarray,
