@@ -227,3 +227,92 @@ class TestTensorFlowGoldenOracle:
             np.testing.assert_array_equal(gi, images[i])
             np.testing.assert_array_equal(gl, labels[i])
             assert gs == sets[i]
+
+
+class TestReferenceSplitImport:
+    """A migrating user's `split-{T}-{V}[-{TEST}].pckl` (the reference's
+    OS-agnostic names-dict, `BRAINWEB.py:480-493`) seeds our JSON split
+    manifest, preserving their exact patient assignment."""
+
+    def _dummy_cls(self):
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.base import (
+            BaseDataset,
+        )
+
+        class SplitD(BaseDataset):
+            name = "SPLITD"
+
+            def _get_patients(self):
+                return [{"name": f"p{i}"} for i in range(4)]
+
+            def _gather_patient(self, patient):
+                img = np.zeros((4, 4), np.float32)
+                return [img], [img]
+
+        return SplitD
+
+    def test_pickle_split_imported_and_persisted(self, tmp_path):
+        import json
+        import pickle
+
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.base import (
+            BaseOptions,
+        )
+
+        ref_split = {"TRAIN": ["p3", "p1"], "VAL": ["p0"], "TEST": ["p2"]}
+        with open(tmp_path / "split-0.7-0.2-0.1.pckl", "wb") as f:
+            pickle.dump(ref_split, f)
+        ds = self._dummy_cls()(BaseOptions(dir=str(tmp_path)))
+        assert ds.patients_split == ref_split
+        # slice sets follow the imported assignment
+        assert sorted(ds.slices("TRAIN").shape)[0] >= 0
+        assert len(ds.slices("TRAIN")) == 2
+        assert len(ds.slices("VAL")) == 1
+        # persisted as the JSON manifest: reloads no longer need the pickle
+        manifest = json.load(open(ds.split_path()))
+        assert manifest == ref_split
+
+    def test_two_part_ms_style_name(self, tmp_path):
+        import pickle
+
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.base import (
+            BaseOptions,
+        )
+
+        ref_split = {"TRAIN": [], "VAL": ["p0", "p1"], "TEST": ["p2", "p3"]}
+        with open(tmp_path / "split-0-2.pckl", "wb") as f:
+            pickle.dump(ref_split, f)
+        ds = self._dummy_cls()(BaseOptions(
+            dir=str(tmp_path), partition={"TRAIN": 0, "VAL": 2, "TEST": 2}))
+        assert ds.patients_split == ref_split
+
+    def test_malicious_pickle_fails_closed(self, tmp_path):
+        import pickle
+
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.base import (
+            BaseOptions,
+        )
+
+        class Evil:
+            def __reduce__(self):
+                return (print, ("pwned",))
+
+        with open(tmp_path / "split-0.7-0.2-0.1.pckl", "wb") as f:
+            pickle.dump(Evil(), f)
+        ds = self._dummy_cls()(BaseOptions(dir=str(tmp_path)))
+        # fell back to the seeded split over the discovered patients
+        total = sum(len(v) for v in ds.patients_split.values())
+        assert total == 4
+
+    def test_unknown_names_ignored(self, tmp_path):
+        import pickle
+
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.base import (
+            BaseOptions,
+        )
+
+        with open(tmp_path / "split-0.7-0.2-0.1.pckl", "wb") as f:
+            pickle.dump({"TRAIN": ["stranger"], "VAL": [], "TEST": []}, f)
+        ds = self._dummy_cls()(BaseOptions(dir=str(tmp_path)))
+        total = sum(len(v) for v in ds.patients_split.values())
+        assert total == 4  # pickle ignored, seeded split used

@@ -145,6 +145,12 @@ class BaseDataset:
         if os.path.isfile(path):
             with open(path) as f:
                 return json.load(f)
+        imported = self._try_import_reference_split()
+        if imported is not None:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            with open(path, "w") as f:
+                json.dump(imported, f, indent=2)
+            return imported
         rng = np.random.default_rng(self.options.seed)
         names = [p["name"] for p in self.patients]
         order = rng.permutation(len(names))
@@ -158,6 +164,68 @@ class BaseDataset:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         with open(path, "w") as f:
             json.dump(split, f, indent=2)
+        return split
+
+    def _try_import_reference_split(self) -> Optional[Dict[str, List[str]]]:
+        """Import the reference's persisted patient split so a migrating
+        user keeps their exact TRAIN/VAL/TEST assignment.  The reference
+        pickles ``{"TRAIN": [patient names], ...}`` as
+        ``split-{TRAIN}-{VAL}[-{TEST}].pckl`` in the dataset dir
+        (`BRAINWEB.py:383-385,480-493`; MS loaders use the 2-part name).
+        Only that names-dict format is accepted: unpickling is done with a
+        no-globals Unpickler (the format needs none), so the legacy
+        index-array pickles — and anything malicious — fail closed."""
+        import io
+        import logging
+        import pickle
+
+        o = self.options
+
+        def variants(v) -> List[str]:
+            out = {str(v), str(float(v))}
+            if float(v).is_integer():
+                out.add(str(int(v)))
+            return sorted(out)
+
+        part = o.partition
+        names: List[str] = []
+        for t in variants(part.get("TRAIN", 0)):
+            for va in variants(part.get("VAL", 0)):
+                names.append(f"split-{t}-{va}.pckl")
+                for te in variants(part.get("TEST", 0)):
+                    names.append(f"split-{t}-{va}-{te}.pckl")
+        found = [os.path.join(root, n)
+                 for root in dict.fromkeys([o.dir, o.cacheDir or o.dir])
+                 for n in names
+                 if os.path.isfile(os.path.join(root, n))]
+        if not found:
+            return None
+
+        class _NamesOnlyUnpickler(pickle.Unpickler):
+            def find_class(self, module, name):  # pragma: no cover
+                raise pickle.UnpicklingError(
+                    f"reference split pickle needs {module}.{name}; only "
+                    "the plain names-dict format is importable")
+
+        log = logging.getLogger(__name__)
+        try:
+            with open(found[0], "rb") as f:
+                blob = _NamesOnlyUnpickler(io.BytesIO(f.read())).load()
+        except Exception as e:
+            log.warning("%s: cannot import reference split %s (%s)",
+                        self.name, found[0], e)
+            return None
+        known = {p["name"] for p in self.patients}
+        split = {s: [str(n) for n in blob.get(s, [])] for s in SET_TYPES}
+        matched = [n for ns in split.values() for n in ns if n in known]
+        if not matched:
+            log.warning(
+                "%s: reference split %s names no discovered patient; "
+                "ignoring it", self.name, found[0])
+            return None
+        log.info("%s: imported reference patient split %s (%d/%d names "
+                 "match discovered patients)", self.name, found[0],
+                 len(matched), sum(len(v) for v in split.values()))
         return split
 
     def get_patient_idx(self, split: str = "TRAIN") -> List[int]:
