@@ -316,3 +316,43 @@ class TestReferenceSplitImport:
         ds = self._dummy_cls()(BaseOptions(dir=str(tmp_path)))
         total = sum(len(v) for v in ds.patients_split.values())
         assert total == 4  # pickle ignored, seeded split used
+
+
+class TestShapeGuard:
+    """Auto-import must not silently load a TFRecord preprocessed under
+    DIFFERENT options: a resolution mismatch skips the import (explicit
+    ``importTFRecord`` still forces it, with a warning)."""
+
+    def test_resolution_mismatch_skips_auto_import(self, tmp_path):
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.base import (
+            BaseDataset,
+            BaseOptions,
+        )
+
+        images, labels, sets = _pool(n=2, h=8, w=8)
+        write_tf_record(images, labels, sets,
+                        str(tmp_path / "GUARD_x.tfrecord"))
+
+        class Guard(BaseDataset):
+            name = "GUARD"
+
+            def _get_patients(self):
+                return [{"name": "p0"}]
+
+            def _load_or_create_split(self):
+                return {"TRAIN": ["p0"], "VAL": [], "TEST": []}
+
+            def _gather_patient(self, patient):
+                img = np.zeros((16, 16), np.float32)
+                return [img], [img]
+
+        ds = Guard(BaseOptions(dir=str(tmp_path),
+                               sliceResolution=(16, 16)))
+        assert ds._images.shape[1:3] == (16, 16)  # rebuilt, not imported
+
+        # explicit importTFRecord forces the load despite the mismatch
+        ds2 = Guard(BaseOptions(
+            dir=str(tmp_path), cache=False,
+            importTFRecord=str(tmp_path / "GUARD_x.tfrecord"),
+            sliceResolution=(16, 16)))
+        assert ds2._images.shape[1:3] == (8, 8)

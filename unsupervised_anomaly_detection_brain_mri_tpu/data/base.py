@@ -496,6 +496,16 @@ class BaseDataset:
         )
 
         images, labels, sets = tfrecord.read_tf_record(tfr)
+        expect = ((o.cropHeight, o.cropWidth) if o.useCrops
+                  else tuple(o.sliceResolution) if o.sliceResolution
+                  else None)
+        if expect and images.shape[0] and tuple(images.shape[1:3]) != expect:
+            logging.getLogger(__name__).warning(
+                "%s: TFRecord cache %s holds %dx%d slices but the options "
+                "ask for %dx%d — ignoring it (set importTFRecord to force)",
+                self.name, tfr, images.shape[1], images.shape[2], *expect)
+            if not o.importTFRecord:
+                return False
         logging.getLogger(__name__).info(
             "%s: imported %d slices from reference TFRecord cache %s",
             self.name, images.shape[0], tfr)
