@@ -462,6 +462,26 @@ def main() -> None:
         run_eval(1)
         detail["eval_pipeline_sec_4x112"] = round(
             time.perf_counter() - t0, 2)
+
+        # standalone metric sweep (AUROC/AP/best-dice in ONE sorted pass,
+        # ops/metrics.py) over the same 4x112x128^2 = 7.3M voxels; marginal
+        # slope between 2- and 12-call runs cancels tunnel latency
+        sweep = jax.jit(
+            lambda d, lab: M.anomaly_curve_summary(d, lab)["auc"])
+        dflat = jnp.abs(xs - recs).ravel()
+        lflat = labels.ravel()
+        _ = float(sweep(dflat, lflat))  # compile
+
+        def run_sweep(n: int):
+            for _ in range(n):
+                r = sweep(dflat, lflat)
+            _ = float(r)
+
+        t2 = time.perf_counter(); run_sweep(2); t2 = time.perf_counter() - t2
+        t12 = time.perf_counter(); run_sweep(12); t12 = time.perf_counter() - t12
+        if t12 > t2:
+            detail["metrics_sweep_ms_7m3voxels"] = round(
+                1e3 * (t12 - t2) / 10, 1)
     except Exception as e:  # pragma: no cover
         detail["eval_bench_error"] = str(e)[:120]
 
