@@ -14,12 +14,14 @@ feed and per-batch metric fetch (`trainers/AE.py:63-90` crossed the host
 boundary twice per step) in f32.  This isolates the framework design delta
 from hardware differences.
 
-Section ordering is part of the contract: every TRAINER-FAMILY row
-(AE/VAE baseline, AAE + per-update, fAnoGAN both phases, AnoVAEGAN,
-VAE_You/GMVAE restoration, eval pipeline, Pallas median) is measured and
-flushed into the partial-result dict BEFORE any experimental bench
-(fast-mode profile, MFU cost analysis), so a tunnel hang can only cost the
-experimental tail — never a family row.
+Section ordering is part of the contract: sections run in RECORD-
+CRITICALITY order (headline AE + TF1 baseline, parity MFU, the default
+fast-profile trio incl. marginal + MFU, batched GMVAE/VAE_You
+restoration, Pallas median, eval pipeline + metric sweep, then the
+stable family rows: VAE, ConvT ablation, AAE + per-update, fAnoGAN,
+AnoVAEGAN).  Every completed row is already flushed into the watchdog's
+partial dict, so a tunnel hang or budget overrun only ever costs
+trailing sections — never the rows the published record depends on.
 
 The remote-TPU tunnel adds large, variable latency and
 ``block_until_ready`` does not wait through it — every timing forces a
@@ -137,7 +139,14 @@ def main() -> None:
             state_holder[0] = state
         return run
 
-    # ================= family rows (flushed before ANY experimental bench)
+    # ================= sections ordered by RECORD-CRITICALITY: the
+    # watchdog emits partials on a tunnel hang / budget overrun, so the
+    # rows the published record depends on most (headline + baseline,
+    # MFU, the fast-profile trio, the batched restoration paths) run
+    # first; family rows that have been stable across captures (VAE,
+    # AAE, fAnoGAN, AnoVAEGAN) and the ConvT ablation run last.
+    # Every completed row is visible to the watchdog via the shared
+    # detail dict, so truncation only ever costs trailing sections.
 
     _section("ae_headline")
     # ---- TPU-native AE path (headline)
@@ -186,157 +195,78 @@ def main() -> None:
         "TF1-shaped baseline is tunnel-latency dominated (per-step "
         "host feed + fetch); vs_baseline varies with tunnel conditions")
 
-    _section("vae")
-    # ---- VAE path (BASELINE.md names AE & VAE)
+    def mfu_of(trainer, holder, sps, prefix):
+        """MFU from XLA cost analysis of the cached whole-epoch program.
+
+        XLA's cost_analysis counts a ``lax.scan`` body ONCE, independent of
+        trip count (pinned by tests/test_round5_fixes.py::
+        test_cost_analysis_counts_scan_body_once), so the reported flops are
+        PER-BATCH: MFU = step_flops * steps_per_sec / peak
+                       = step_flops * (sps / B) / peak.
+        (Rounds <=4 divided by n_slices instead of B, understating MFU by
+        the epoch's batch count, 8x: the r4 "3.33%" is really ~27%.)
+        """
+        idxs0 = jnp.asarray(epoch_indices(host_rng, n_slices, B))
+        jitted_epoch = next(iter(trainer._train_compiler._cache.values()))
+        compiled = jitted_epoch.lower(holder[0], pool, idxs0).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        step_flops = float(ca.get("flops", 0.0))
+        dev_kind = jax.devices()[0].device_kind.lower()
+        # per-chip dense peak: v5e 197 TF bf16; v4 275 TF; fallback v5e
+        peak = 197e12 if ("v5" in dev_kind or "lite" in dev_kind) else 275e12
+        if step_flops > 0:
+            detail[f"{prefix}_train_step_gflops"] = round(step_flops / 1e9, 1)
+            detail[f"{prefix}_mfu_pct"] = round(
+                100.0 * step_flops * sps / B / peak, 2)
+        return peak, dev_kind
+
+    _section("mfu")
+    # ---- MFU of the parity AE train step (FLOP count from XLA cost
+    # analysis; the fast-mode MFU is captured in the fast-mode section)
     try:
-        vcfg = Config(trainer="VAE", model="variational_autoencoder",
-                      batchsize=B, outputWidth=H, outputHeight=H, zDim=128)
-        vtr = get_trainer("VAE")(vcfg)
-        vholder = [vtr.init_state()]
-        vrun = epoch_runner(vtr, vholder)
-        vrun(1)
-        detail["native_vae_slices_per_sec"] = round(
-            _best_throughput(vrun, n_slices, 4), 1)
+        peak, dev_kind = mfu_of(tr, holder, native_sps, "ae")
+        detail["mfu_flop_model"] = (
+            "XLA cost_analysis flops of the epoch scan BODY (= one batch; "
+            "cost_analysis counts scan bodies once, trip-count-invariant) "
+            "* measured steps/sec; "
+            f"peak={peak / 1e12:.0f}e12 ({dev_kind})")
     except Exception as e:  # pragma: no cover
-        detail["vae_bench_error"] = str(e)[:120]
+        detail["mfu_error"] = str(e)[:120]
 
-    _section("aae")
-    # ---- AAE (WGAN-GP latent critic), plus the per-model-update
-    # comparison against AE: the parity schedule runs 41 updates/batch at
-    # epoch<=5 (AE x20 + critic x20 + generator x1, `trainers/AAE.py:
-    # 85-131`) vs AE's single update, so aggregate slices/s alone can't
-    # show whether the GAN step is efficient per update.
+
+    _section("fastmode")
+    # ---- NON-PARITY fast profile (the TPU default; --parity opts out):
+    # s2d stem + d2s head.
+    # The parity decoder materialises a 128x128x128x32 bf16 feature map
+    # (134 MB) each step — the profiled HBM bottleneck; the packed head
+    # computes at half resolution.  Quality validated against the
+    # 18-preset scoreboard (examples/scoreboard_expected.json tolerances).
     try:
-        gcfg = Config(trainer="AAE", model="adversarial_autoencoder",
-                      batchsize=B, outputWidth=H, outputHeight=H, zDim=128,
-                      intermediateResolutions=(16, 16))
-        gtr = get_trainer("AAE")(gcfg)
-        # Epoch<=5 parity program (ae_iters=20 -> 41 updates/batch,
-        # `epoch_static(0, "TRAIN")`) is the headline; the steady-state
-        # program (ae_iters=1 -> 22 updates/batch) is measured too, and the
-        # DIFFERENCE isolates the marginal cost of one AE substep inside
-        # the adversarial step — the honest per-update comparison vs AE.
-        gholder = [gtr.init_state()]
-        grun = epoch_runner(gtr, gholder, **gtr.epoch_static(0, "TRAIN"))
-        grun(1)
-        aae_sps = _best_throughput(grun, n_slices, 2)
-        detail["aae_train_slices_per_sec"] = round(aae_sps, 1)
-        gholder[0] = gtr.init_state()
-        grun1 = epoch_runner(gtr, gholder, **gtr.epoch_static(9, "TRAIN"))
-        grun1(1)
-        aae_sps1 = _best_throughput(grun1, n_slices, 2)
-        detail["aae_train_slices_per_sec_steady"] = round(aae_sps1, 1)
-        # derive update counts from the programs actually run (ADVICE r4:
-        # do not hard-code the trainer's schedule rule into the bench)
-        ai0 = gtr.epoch_static(0, "TRAIN")["ae_iters"]
-        ai1 = gtr.epoch_static(9, "TRAIN")["ae_iters"]
-        aae_updates_per_batch = ai0 + gtr.d_iters + 1  # AE xN + critic + gen
-        detail["ae_ms_per_update"] = round(1e3 * B / native_sps, 3)
-        detail["aae_ms_per_update"] = round(
-            1e3 * B / aae_sps / aae_updates_per_batch, 3)
-        # marginal AE-substep cost: (batch time at ae_iters=ai0 minus at
-        # ae_iters=ai1) / extra substeps.  Best-of-2 throughputs are
-        # independently noisy through the tunnel — a non-positive time
-        # difference means noise dominated; record null + a flag rather
-        # than a negative/inflated substep cost (ADVICE r4).
-        dt_batch = 1 / aae_sps - 1 / aae_sps1
-        if ai0 > ai1 and dt_batch > 0:
-            substep_ms = 1e3 * B * dt_batch / (ai0 - ai1)
-            detail["aae_ae_substep_ms"] = round(substep_ms, 3)
-            detail["aae_ae_substep_vs_ae"] = round(
-                substep_ms / (1e3 * B / native_sps), 3)
-        else:
-            detail["aae_ae_substep_ms"] = None
-            detail["aae_ae_substep_note"] = (
-                "noise-dominated: schedule A/B time difference <= 0")
+        scfg = cfg.replace(spaceToDepthStem=True, depthToSpaceHead=True)
+        stem_tr = get_trainer("AE")(scfg)
+        sholder = [stem_tr.init_state()]
+        srun = epoch_runner(stem_tr, sholder)
+        srun(1)
+        stem_sps = _best_throughput(srun, n_slices, 4)
+        detail["fastmode_ae_slices_per_sec"] = round(stem_sps, 1)
+        detail["fastmode_speedup"] = round(stem_sps / native_sps, 3)
+        # marginal slope (4- vs 16-epoch runs): device-side rate with the
+        # tunnel's fixed dispatch latency cancelled — the README's fast-mode
+        # device-side claim must come from THIS machine-captured row
+        st4 = time.perf_counter(); srun(4); st4 = time.perf_counter() - st4
+        st16 = time.perf_counter(); srun(16); st16 = time.perf_counter() - st16
+        if st16 > st4:
+            fast_marginal = 12 * n_slices / (st16 - st4)
+            detail["fastmode_ae_slices_per_sec_marginal"] = round(
+                fast_marginal, 1)
+            nm = detail.get("native_ae_slices_per_sec_marginal")
+            if nm:
+                detail["fastmode_speedup_marginal"] = round(
+                    fast_marginal / nm, 3)
+        mfu_of(stem_tr, sholder, stem_sps, "fastmode_ae")
     except Exception as e:  # pragma: no cover
-        detail["gan_bench_error"] = str(e)[:120]
-
-    _section("fanogan")
-    # ---- fAnoGAN two-phase training (the most schedule-complex trainer:
-    # phase 1 WGAN-GP with 5 critic iters/batch incl. grad-of-grad GP,
-    # phase 2 izif encoder; `trainers/fAnoGAN.py:87-210`) and AnoVAEGAN
-    # (VAE + image WGAN-GP critic; `trainers/AnoVAEGAN.py:95-160`).
-    # Parity batch size 8 (mains presets); smaller pool bounds runtime.
-    try:
-        n_gan = 256
-        gan_pool = {"x": jnp.asarray(pool_np[:n_gan])}
-
-        def gan_epoch_runner(trainer, state_holder, **static):
-            def run(n_epochs: int):
-                state = state_holder[0]
-                for _ in range(n_epochs):
-                    idxs = jnp.asarray(epoch_indices(
-                        host_rng, n_gan, trainer.config.batchsize))
-                    state, m = trainer._train_compiler(
-                        state, gan_pool, idxs, **static)
-                _ = float(jax.tree_util.tree_leaves(m)[0])
-                state_holder[0] = state
-            return run
-
-        fcfg = preset("fAnoGAN", numEpochs=1)
-        ftr = get_trainer("fAnoGAN")(fcfg)
-        fholder = [ftr.init_state()]
-        frun1 = gan_epoch_runner(ftr, fholder, phase2=False)
-        frun1(1)
-        detail["fanogan_wgan_slices_per_sec"] = round(
-            _best_throughput(frun1, n_gan, 1), 1)
-        frun2 = gan_epoch_runner(ftr, fholder, phase2=True)
-        frun2(1)
-        detail["fanogan_encoder_slices_per_sec"] = round(
-            _best_throughput(frun2, n_gan, 1), 1)
-
-        acfg = preset("AnoVAEGAN", numEpochs=1)
-        atr = get_trainer("AnoVAEGAN")(acfg)
-        aholder = [atr.init_state()]
-        arun = gan_epoch_runner(atr, aholder)
-        arun(1)
-        detail["anovaegan_slices_per_sec"] = round(
-            _best_throughput(arun, n_gan, 1), 1)
-    except Exception as e:  # pragma: no cover
-        detail["fanogan_bench_error"] = str(e)[:120]
-
-    _section("vae_you_restoration")
-    # ---- VAE_You 150-step input-gradient restoration: single volume AND
-    # the cross-volume batched path the eval driver uses
-    # (Options.restorationVolumeBatch, vmapped restoration loop)
-    try:
-        ycfg = Config(trainer="VAE_You", model="variational_autoencoder",
-                      batchsize=B, outputWidth=H, outputHeight=H, zDim=128,
-                      restore_steps=150, tv_lambda=1.0)
-        ytr = get_trainer("VAE_You")(ycfg)
-        ystate = ytr.init_state()
-        yvol = jnp.asarray(host_rng.uniform(
-            0, 1, (112, H, H, 1)).astype(np.float32))
-        r = ytr.reconstruct(ystate, yvol)  # compile
-        _ = float(np.asarray(r["reconstruction"]).sum())
-
-        def run_restore(n: int):
-            for _ in range(n):
-                rr = ytr.reconstruct(ystate, yvol)
-            _ = float(np.asarray(rr["reconstruction"]).sum())
-
-        single_vps = _best_throughput(run_restore, 1, 2)
-        detail["vae_you_restoration_volumes_per_sec"] = round(single_vps, 3)
-
-        KV = 4
-        yvols = jnp.asarray(host_rng.uniform(
-            0, 1, (KV, 112, H, H, 1)).astype(np.float32))
-        rb = ytr.reconstruct_volumes_device(ystate, yvols)  # compile
-        _ = float(jnp.sum(rb["reconstruction"][:, :2, :2, :2]))
-
-        def run_restore_batched(n: int):
-            for _ in range(n):
-                rb = ytr.reconstruct_volumes_device(ystate, yvols)
-            _ = float(jnp.sum(rb["reconstruction"][:, :2, :2, :2]))
-
-        batched_vps = _best_throughput(run_restore_batched, KV, 2)
-        detail["vae_you_restoration_batched_volumes_per_sec"] = round(
-            batched_vps, 3)
-        detail["restoration_batched_speedup"] = round(
-            batched_vps / single_vps, 2)
-    except Exception as e:  # pragma: no cover
-        detail["restoration_bench_error"] = str(e)[:120]
+        detail["s2d_bench_error"] = str(e)[:120]
 
     _section("gmvae_restoration")
     # ---- GMVAE_spatial 150-step restoration eval (the reference's other
@@ -381,6 +311,48 @@ def main() -> None:
             gm_batched_vps / gm_single_vps, 2)
     except Exception as e:  # pragma: no cover
         detail["gmvae_bench_error"] = str(e)[:120]
+
+    _section("vae_you_restoration")
+    # ---- VAE_You 150-step input-gradient restoration: single volume AND
+    # the cross-volume batched path the eval driver uses
+    # (Options.restorationVolumeBatch, vmapped restoration loop)
+    try:
+        ycfg = Config(trainer="VAE_You", model="variational_autoencoder",
+                      batchsize=B, outputWidth=H, outputHeight=H, zDim=128,
+                      restore_steps=150, tv_lambda=1.0)
+        ytr = get_trainer("VAE_You")(ycfg)
+        ystate = ytr.init_state()
+        yvol = jnp.asarray(host_rng.uniform(
+            0, 1, (112, H, H, 1)).astype(np.float32))
+        r = ytr.reconstruct(ystate, yvol)  # compile
+        _ = float(np.asarray(r["reconstruction"]).sum())
+
+        def run_restore(n: int):
+            for _ in range(n):
+                rr = ytr.reconstruct(ystate, yvol)
+            _ = float(np.asarray(rr["reconstruction"]).sum())
+
+        single_vps = _best_throughput(run_restore, 1, 2)
+        detail["vae_you_restoration_volumes_per_sec"] = round(single_vps, 3)
+
+        KV = 4
+        yvols = jnp.asarray(host_rng.uniform(
+            0, 1, (KV, 112, H, H, 1)).astype(np.float32))
+        rb = ytr.reconstruct_volumes_device(ystate, yvols)  # compile
+        _ = float(jnp.sum(rb["reconstruction"][:, :2, :2, :2]))
+
+        def run_restore_batched(n: int):
+            for _ in range(n):
+                rb = ytr.reconstruct_volumes_device(ystate, yvols)
+            _ = float(jnp.sum(rb["reconstruction"][:, :2, :2, :2]))
+
+        batched_vps = _best_throughput(run_restore_batched, KV, 2)
+        detail["vae_you_restoration_batched_volumes_per_sec"] = round(
+            batched_vps, 3)
+        detail["restoration_batched_speedup"] = round(
+            batched_vps / single_vps, 2)
+    except Exception as e:  # pragma: no cover
+        detail["restoration_bench_error"] = str(e)[:120]
 
     _section("pallas_median")
     # ---- Pallas vs XLA 5^3 median filter on a 112-slice volume
@@ -485,65 +457,19 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         detail["eval_bench_error"] = str(e)[:120]
 
-    # ============ experimental tail (everything above already flushed)
-
-    _section("fastmode")
-    # ---- opt-in NON-PARITY perf mode (--tpu-fast): s2d stem + d2s head.
-    # The parity decoder materialises a 128x128x128x32 bf16 feature map
-    # (134 MB) each step — the profiled HBM bottleneck; the packed head
-    # computes at half resolution.  Quality validated against the
-    # 18-preset scoreboard (examples/scoreboard_expected.json tolerances).
-    def mfu_of(trainer, holder, sps, prefix):
-        """MFU from XLA cost analysis of the cached whole-epoch program.
-
-        XLA's cost_analysis counts a ``lax.scan`` body ONCE, independent of
-        trip count (pinned by tests/test_round5_fixes.py::
-        test_cost_analysis_counts_scan_body_once), so the reported flops are
-        PER-BATCH: MFU = step_flops * steps_per_sec / peak
-                       = step_flops * (sps / B) / peak.
-        (Rounds <=4 divided by n_slices instead of B, understating MFU by
-        the epoch's batch count, 8x: the r4 "3.33%" is really ~27%.)
-        """
-        idxs0 = jnp.asarray(epoch_indices(host_rng, n_slices, B))
-        jitted_epoch = next(iter(trainer._train_compiler._cache.values()))
-        compiled = jitted_epoch.lower(holder[0], pool, idxs0).compile()
-        ca = compiled.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        step_flops = float(ca.get("flops", 0.0))
-        dev_kind = jax.devices()[0].device_kind.lower()
-        # per-chip dense peak: v5e 197 TF bf16; v4 275 TF; fallback v5e
-        peak = 197e12 if ("v5" in dev_kind or "lite" in dev_kind) else 275e12
-        if step_flops > 0:
-            detail[f"{prefix}_train_step_gflops"] = round(step_flops / 1e9, 1)
-            detail[f"{prefix}_mfu_pct"] = round(
-                100.0 * step_flops * sps / B / peak, 2)
-        return peak, dev_kind
-
+    _section("vae")
+    # ---- VAE path (BASELINE.md names AE & VAE)
     try:
-        scfg = cfg.replace(spaceToDepthStem=True, depthToSpaceHead=True)
-        stem_tr = get_trainer("AE")(scfg)
-        sholder = [stem_tr.init_state()]
-        srun = epoch_runner(stem_tr, sholder)
-        srun(1)
-        stem_sps = _best_throughput(srun, n_slices, 4)
-        detail["fastmode_ae_slices_per_sec"] = round(stem_sps, 1)
-        detail["fastmode_speedup"] = round(stem_sps / native_sps, 3)
-        # marginal slope (4- vs 16-epoch runs): device-side rate with the
-        # tunnel's fixed dispatch latency cancelled — the README's fast-mode
-        # device-side claim must come from THIS machine-captured row
-        st4 = time.perf_counter(); srun(4); st4 = time.perf_counter() - st4
-        st16 = time.perf_counter(); srun(16); st16 = time.perf_counter() - st16
-        if st16 > st4:
-            fast_marginal = 12 * n_slices / (st16 - st4)
-            detail["fastmode_ae_slices_per_sec_marginal"] = round(
-                fast_marginal, 1)
-            nm = detail.get("native_ae_slices_per_sec_marginal")
-            if nm:
-                detail["fastmode_speedup_marginal"] = round(
-                    fast_marginal / nm, 3)
-        mfu_of(stem_tr, sholder, stem_sps, "fastmode_ae")
+        vcfg = Config(trainer="VAE", model="variational_autoencoder",
+                      batchsize=B, outputWidth=H, outputHeight=H, zDim=128)
+        vtr = get_trainer("VAE")(vcfg)
+        vholder = [vtr.init_state()]
+        vrun = epoch_runner(vtr, vholder)
+        vrun(1)
+        detail["native_vae_slices_per_sec"] = round(
+            _best_throughput(vrun, n_slices, 4), 1)
     except Exception as e:  # pragma: no cover
-        detail["s2d_bench_error"] = str(e)[:120]
+        detail["vae_bench_error"] = str(e)[:120]
 
     _section("convt_ablation")
     # ---- reverse-free ConvT kernel-gradient ablation (ops/convt.py,
@@ -563,18 +489,101 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         detail["convtgrad_bench_error"] = str(e)[:120]
 
-    _section("mfu")
-    # ---- MFU of the parity AE train step (FLOP count from XLA cost
-    # analysis; the fast-mode MFU is captured in the fast-mode section)
+    _section("aae")
+    # ---- AAE (WGAN-GP latent critic), plus the per-model-update
+    # comparison against AE: the parity schedule runs 41 updates/batch at
+    # epoch<=5 (AE x20 + critic x20 + generator x1, `trainers/AAE.py:
+    # 85-131`) vs AE's single update, so aggregate slices/s alone can't
+    # show whether the GAN step is efficient per update.
     try:
-        peak, dev_kind = mfu_of(tr, holder, native_sps, "ae")
-        detail["mfu_flop_model"] = (
-            "XLA cost_analysis flops of the epoch scan BODY (= one batch; "
-            "cost_analysis counts scan bodies once, trip-count-invariant) "
-            "* measured steps/sec; "
-            f"peak={peak / 1e12:.0f}e12 ({dev_kind})")
+        gcfg = Config(trainer="AAE", model="adversarial_autoencoder",
+                      batchsize=B, outputWidth=H, outputHeight=H, zDim=128,
+                      intermediateResolutions=(16, 16))
+        gtr = get_trainer("AAE")(gcfg)
+        # Epoch<=5 parity program (ae_iters=20 -> 41 updates/batch,
+        # `epoch_static(0, "TRAIN")`) is the headline; the steady-state
+        # program (ae_iters=1 -> 22 updates/batch) is measured too, and the
+        # DIFFERENCE isolates the marginal cost of one AE substep inside
+        # the adversarial step — the honest per-update comparison vs AE.
+        gholder = [gtr.init_state()]
+        grun = epoch_runner(gtr, gholder, **gtr.epoch_static(0, "TRAIN"))
+        grun(1)
+        aae_sps = _best_throughput(grun, n_slices, 2)
+        detail["aae_train_slices_per_sec"] = round(aae_sps, 1)
+        gholder[0] = gtr.init_state()
+        grun1 = epoch_runner(gtr, gholder, **gtr.epoch_static(9, "TRAIN"))
+        grun1(1)
+        aae_sps1 = _best_throughput(grun1, n_slices, 2)
+        detail["aae_train_slices_per_sec_steady"] = round(aae_sps1, 1)
+        # derive update counts from the programs actually run (ADVICE r4:
+        # do not hard-code the trainer's schedule rule into the bench)
+        ai0 = gtr.epoch_static(0, "TRAIN")["ae_iters"]
+        ai1 = gtr.epoch_static(9, "TRAIN")["ae_iters"]
+        aae_updates_per_batch = ai0 + gtr.d_iters + 1  # AE xN + critic + gen
+        detail["ae_ms_per_update"] = round(1e3 * B / native_sps, 3)
+        detail["aae_ms_per_update"] = round(
+            1e3 * B / aae_sps / aae_updates_per_batch, 3)
+        # marginal AE-substep cost: (batch time at ae_iters=ai0 minus at
+        # ae_iters=ai1) / extra substeps.  Best-of-2 throughputs are
+        # independently noisy through the tunnel — a non-positive time
+        # difference means noise dominated; record null + a flag rather
+        # than a negative/inflated substep cost (ADVICE r4).
+        dt_batch = 1 / aae_sps - 1 / aae_sps1
+        if ai0 > ai1 and dt_batch > 0:
+            substep_ms = 1e3 * B * dt_batch / (ai0 - ai1)
+            detail["aae_ae_substep_ms"] = round(substep_ms, 3)
+            detail["aae_ae_substep_vs_ae"] = round(
+                substep_ms / (1e3 * B / native_sps), 3)
+        else:
+            detail["aae_ae_substep_ms"] = None
+            detail["aae_ae_substep_note"] = (
+                "noise-dominated: schedule A/B time difference <= 0")
     except Exception as e:  # pragma: no cover
-        detail["mfu_error"] = str(e)[:120]
+        detail["gan_bench_error"] = str(e)[:120]
+
+    _section("fanogan")
+    # ---- fAnoGAN two-phase training (the most schedule-complex trainer:
+    # phase 1 WGAN-GP with 5 critic iters/batch incl. grad-of-grad GP,
+    # phase 2 izif encoder; `trainers/fAnoGAN.py:87-210`) and AnoVAEGAN
+    # (VAE + image WGAN-GP critic; `trainers/AnoVAEGAN.py:95-160`).
+    # Parity batch size 8 (mains presets); smaller pool bounds runtime.
+    try:
+        n_gan = 256
+        gan_pool = {"x": jnp.asarray(pool_np[:n_gan])}
+
+        def gan_epoch_runner(trainer, state_holder, **static):
+            def run(n_epochs: int):
+                state = state_holder[0]
+                for _ in range(n_epochs):
+                    idxs = jnp.asarray(epoch_indices(
+                        host_rng, n_gan, trainer.config.batchsize))
+                    state, m = trainer._train_compiler(
+                        state, gan_pool, idxs, **static)
+                _ = float(jax.tree_util.tree_leaves(m)[0])
+                state_holder[0] = state
+            return run
+
+        fcfg = preset("fAnoGAN", numEpochs=1)
+        ftr = get_trainer("fAnoGAN")(fcfg)
+        fholder = [ftr.init_state()]
+        frun1 = gan_epoch_runner(ftr, fholder, phase2=False)
+        frun1(1)
+        detail["fanogan_wgan_slices_per_sec"] = round(
+            _best_throughput(frun1, n_gan, 1), 1)
+        frun2 = gan_epoch_runner(ftr, fholder, phase2=True)
+        frun2(1)
+        detail["fanogan_encoder_slices_per_sec"] = round(
+            _best_throughput(frun2, n_gan, 1), 1)
+
+        acfg = preset("AnoVAEGAN", numEpochs=1)
+        atr = get_trainer("AnoVAEGAN")(acfg)
+        aholder = [atr.init_state()]
+        arun = gan_epoch_runner(atr, aholder)
+        arun(1)
+        detail["anovaegan_slices_per_sec"] = round(
+            _best_throughput(arun, n_gan, 1), 1)
+    except Exception as e:  # pragma: no cover
+        detail["fanogan_bench_error"] = str(e)[:120]
 
     signal.alarm(0)
     if not _reported.is_set():
