@@ -254,3 +254,41 @@ class TestMfuFlopModel:
         assert f2 == f8, (
             "XLA cost_analysis now scales scan flops with trip count; "
             "bench.py::mfu_of must divide by n_slices, not batch")
+
+
+@pytest.mark.slow
+class TestStageRooflineTool:
+    """tools/parity_stage_roofline.py must run on any backend and emit a
+    well-formed JSON record for both profiles (the DESIGN.md tables are
+    generated from its TPU output)."""
+
+    def _run(self, *extra):
+        import json
+        import os
+        import subprocess
+        import sys
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(root, "tools", "parity_stage_roofline.py"),
+             "--batch", "2", "--image", "32", *extra],
+            capture_output=True, text=True, env=env, timeout=600)
+        assert out.returncode == 0, out.stderr[-800:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    def test_parity_profile(self):
+        rec = self._run()
+        assert rec["profile"] == "parity"
+        assert len(rec["stages"]) == 4
+        for r in rec["stages"]:
+            assert "error" in r or (
+                r["measured_ms"] > 0 and r["bound"] in
+                ("compute", "bandwidth"))
+
+    def test_fast_profile(self):
+        rec = self._run("--fast")
+        assert rec["profile"] == "fast"
+        names = " ".join(s["stage"] for s in rec["stages"])
+        assert "s2d stem" in names and "d2s head" in names
