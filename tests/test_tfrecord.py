@@ -356,3 +356,36 @@ class TestShapeGuard:
             importTFRecord=str(tmp_path / "GUARD_x.tfrecord"),
             sliceResolution=(16, 16)))
         assert ds2._images.shape[1:3] == (8, 8)
+
+
+class TestRobustness:
+    """Malformed inputs must raise clean IOErrors, never crash or hang."""
+
+    def test_random_garbage(self, tmp_path):
+        rng = np.random.default_rng(7)
+        for i in range(20):
+            path = str(tmp_path / f"junk{i}.tfrecord")
+            blob = rng.integers(0, 256, rng.integers(1, 4096),
+                                dtype=np.uint8).tobytes()
+            open(path, "wb").write(blob)
+            with pytest.raises((IOError, ValueError, KeyError)):
+                read_tf_record(path, verify=False)
+
+    def test_huge_declared_length_is_truncation(self, tmp_path):
+        import struct
+
+        path = str(tmp_path / "huge.tfrecord")
+        head = struct.pack("<Q", 2**40)  # 1 TB declared record
+        open(path, "wb").write(head + struct.pack("<I", _masked_crc(head)))
+        with pytest.raises(IOError, match="truncated"):
+            read_tf_record(path, verify=False)
+
+    def test_minimal_shapes_round_trip(self, tmp_path):
+        images = np.ones((1, 1, 1, 1), np.float32) * 0.5
+        labels = np.zeros((1, 1, 1), np.float32)
+        sets = np.array([2], np.int32)
+        path = str(tmp_path / "tiny.tfrecord")
+        write_tf_record(images, labels, sets, path)
+        ri, rl, rs = read_tf_record(path, verify=True)
+        np.testing.assert_array_equal(ri, images)
+        assert rs[0] == 2

@@ -234,6 +234,9 @@ def iter_records(path: str, verify: Optional[bool] = None):
     """
     if verify is None:
         verify = native.crc32c(b"") is not None
+    import os as _os
+
+    file_size = _os.path.getsize(path)
     with open(path, "rb") as f:
         while True:
             head = f.read(12)
@@ -245,6 +248,10 @@ def iter_records(path: str, verify: Optional[bool] = None):
                                      struct.unpack("<I", head[8:]))
             if _masked_crc(head[:8]) != len_crc:
                 raise IOError(f"TFRecord length CRC mismatch: {path}")
+            if length > file_size:  # a corrupt length must not drive a
+                raise IOError(      # multi-GB read() allocation
+                    f"truncated TFRecord payload (declared {length} bytes "
+                    f"in a {file_size}-byte file): {path}")
             payload = f.read(length)
             tail = f.read(4)
             if len(payload) != length or len(tail) != 4:
