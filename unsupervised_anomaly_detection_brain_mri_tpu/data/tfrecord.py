@@ -62,6 +62,8 @@ def _masked_crc(data: bytes) -> int:
 # Minimal protobuf wire-format (only what tf.train.Example needs)
 
 def _write_varint(out: bytearray, value: int) -> None:
+    if value < 0:  # proto int64 semantics: two's-complement 64-bit
+        value &= 0xFFFFFFFFFFFFFFFF
     while True:
         bits = value & 0x7F
         value >>= 7
