@@ -17,9 +17,10 @@ from hardware differences.
 Section ordering is part of the contract: sections run in RECORD-
 CRITICALITY order (headline AE + TF1 baseline, parity MFU, the default
 fast-profile trio incl. marginal + MFU, batched GMVAE/VAE_You
-restoration, Pallas median, eval pipeline + metric sweep, then the
-stable family rows: VAE, ConvT ablation, AAE + per-update, fAnoGAN,
-AnoVAEGAN).  Every completed row is already flushed into the watchdog's
+restoration, Pallas median, eval pipeline + metric sweep, ConvT
+ablation, AAE + per-update — every key README quotes — then the
+family rows the record does not quote: VAE, fAnoGAN, AnoVAEGAN).
+Every completed row is already flushed into the watchdog's
 partial dict, so a tunnel hang or budget overrun only ever costs
 trailing sections — never the rows the published record depends on.
 
@@ -51,12 +52,22 @@ WATCHDOG_SECS = int(os.environ.get("UADMRI_BENCH_WATCHDOG_SECS", "540"))
 _partial = {"value": None, "vs_baseline": None, "detail": None,
             "section": "startup"}
 _reported = threading.Event()
+# per-section wall seconds, recorded into the detail dict (shared by
+# reference, so watchdog partials carry it too): makes a truncated
+# capture say exactly how far the budget reached, and tells the next
+# tuning pass where the runtime actually goes
+_SECTION_SECS = {}
+_section_t0 = [time.perf_counter()]
 
 
 def _section(name: str) -> None:
     """Mark the bench section now in flight, so a watchdog-emitted partial
     record says WHERE the tunnel hang happened (and that the in-flight
-    section's own rows may be noise-poisoned by the degrading tunnel)."""
+    section's own rows may be noise-poisoned by the degrading tunnel).
+    Also closes the wall-clock bucket of the section just finished."""
+    now = time.perf_counter()
+    _SECTION_SECS[_partial["section"]] = round(now - _section_t0[0], 1)
+    _section_t0[0] = now
     _partial["section"] = name
 
 
@@ -126,7 +137,8 @@ def main() -> None:
     host_rng = np.random.default_rng(0)
     pool_np = host_rng.uniform(0, 1, (n_slices, H, H, 1)).astype(np.float32)
     pool = {"x": jnp.asarray(pool_np)}
-    detail = {"batch": B, "image": H, "device": str(jax.devices()[0])}
+    detail = {"batch": B, "image": H, "device": str(jax.devices()[0]),
+              "section_secs": _SECTION_SECS}
 
     def epoch_runner(trainer, state_holder, **static):
         def run(n_epochs: int):
@@ -142,9 +154,10 @@ def main() -> None:
     # ================= sections ordered by RECORD-CRITICALITY: the
     # watchdog emits partials on a tunnel hang / budget overrun, so the
     # rows the published record depends on most (headline + baseline,
-    # MFU, the fast-profile trio, the batched restoration paths) run
-    # first; family rows that have been stable across captures (VAE,
-    # AAE, fAnoGAN, AnoVAEGAN) and the ConvT ablation run last.
+    # MFU, the fast-profile trio, the batched restoration paths, then
+    # the remaining README-quoted rows: median, eval pipeline + sweep,
+    # ConvT ablation, AAE per-update) run first; the family rows the
+    # record does not quote (VAE, fAnoGAN, AnoVAEGAN) run last.
     # Every completed row is visible to the watchdog via the shared
     # detail dict, so truncation only ever costs trailing sections.
 
@@ -457,20 +470,6 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         detail["eval_bench_error"] = str(e)[:120]
 
-    _section("vae")
-    # ---- VAE path (BASELINE.md names AE & VAE)
-    try:
-        vcfg = Config(trainer="VAE", model="variational_autoencoder",
-                      batchsize=B, outputWidth=H, outputHeight=H, zDim=128)
-        vtr = get_trainer("VAE")(vcfg)
-        vholder = [vtr.init_state()]
-        vrun = epoch_runner(vtr, vholder)
-        vrun(1)
-        detail["native_vae_slices_per_sec"] = round(
-            _best_throughput(vrun, n_slices, 4), 1)
-    except Exception as e:  # pragma: no cover
-        detail["vae_bench_error"] = str(e)[:120]
-
     _section("convt_ablation")
     # ---- reverse-free ConvT kernel-gradient ablation (ops/convt.py,
     # default ON; the headline row above includes it): the same epoch
@@ -541,6 +540,22 @@ def main() -> None:
     except Exception as e:  # pragma: no cover
         detail["gan_bench_error"] = str(e)[:120]
 
+    _section("vae")
+    # ---- VAE path (BASELINE.md names AE & VAE).  Runs after the
+    # README-quoted sections: not quoted in the published record, so a
+    # budget truncation should cost this row before any quoted one.
+    try:
+        vcfg = Config(trainer="VAE", model="variational_autoencoder",
+                      batchsize=B, outputWidth=H, outputHeight=H, zDim=128)
+        vtr = get_trainer("VAE")(vcfg)
+        vholder = [vtr.init_state()]
+        vrun = epoch_runner(vtr, vholder)
+        vrun(1)
+        detail["native_vae_slices_per_sec"] = round(
+            _best_throughput(vrun, n_slices, 4), 1)
+    except Exception as e:  # pragma: no cover
+        detail["vae_bench_error"] = str(e)[:120]
+
     _section("fanogan")
     # ---- fAnoGAN two-phase training (the most schedule-complex trainer:
     # phase 1 WGAN-GP with 5 critic iters/batch incl. grad-of-grad GP,
@@ -586,6 +601,7 @@ def main() -> None:
         detail["fanogan_bench_error"] = str(e)[:120]
 
     signal.alarm(0)
+    _section("done")  # close the last section's wall-clock bucket
     if not _reported.is_set():
         _reported.set()  # disarm the thread watchdog
         print(json.dumps({

@@ -380,6 +380,19 @@ class TestRobustness:
         with pytest.raises(IOError, match="truncated"):
             read_tf_record(path, verify=False)
 
+    def test_negative_int64_feature_round_trip(self):
+        # proto int64 semantics: negatives are ten-byte two's-complement
+        # varints.  Not reachable through height/width (always positive),
+        # but the wire codec must stay proto-correct both ways.
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.tfrecord import (
+            _encode_example,
+            _encode_int64_feature,
+            _parse_example,
+        )
+        for v in (-1, -(2**62), 0, 1, 2**62):
+            payload = _encode_example({"v": _encode_int64_feature(v)})
+            assert _parse_example(payload)["v"] == v
+
     def test_minimal_shapes_round_trip(self, tmp_path):
         images = np.ones((1, 1, 1, 1), np.float32) * 0.5
         labels = np.zeros((1, 1, 1), np.float32)

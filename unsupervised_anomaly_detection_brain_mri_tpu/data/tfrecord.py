@@ -147,7 +147,9 @@ def _parse_feature(buf: memoryview):
                 if itag & 7 == 2:  # packed (TF's encoding)
                     _, ipos = _read_varint(inner, ipos)
                 val, _ = _read_varint(inner, ipos)
-                return val
+                # proto int64: ten-byte two's-complement varint for
+                # negatives (mirrors the _write_varint encode side)
+                return val - (1 << 64) if val >= 1 << 63 else val
     return None
 
 
