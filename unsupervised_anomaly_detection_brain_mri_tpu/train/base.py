@@ -249,14 +249,24 @@ class BaseTrainer:
         if self.needs_brainmask:
             dummy["mask"] = jnp.ones(
                 (c.batchsize, c.outputHeight, c.outputWidth), jnp.float32)
-        args, kwargs = self.model_inputs(dummy, init_rng, train=True)
-        variables = self.model.init(
-            {"params": init_rng, **self._rng_streams(init_rng)},
-            *args, train=True, dropout=True, **kwargs)
-        params = variables["params"]
-        batch_stats = variables.get("batch_stats", {})
         opts = self.optimizers()
-        opt_states = {name: o.init(params) for name, o in opts.items()}
+
+        # one jitted program for the whole init: un-jitted flax init runs
+        # every layer initializer as a separate eager dispatch — dozens of
+        # round trips through a remote-device transport (~80 s through the
+        # axon tunnel vs one program here).  Numerics are unchanged: jit
+        # neither alters PRNG streams nor reassociates the elementwise
+        # initializer math.
+        def _init_core(rng_in):
+            args, kwargs = self.model_inputs(dummy, rng_in, train=True)
+            variables = self.model.init(
+                {"params": rng_in, **self._rng_streams(rng_in)},
+                *args, train=True, dropout=True, **kwargs)
+            params = variables["params"]
+            return (params, variables.get("batch_stats", {}),
+                    {name: o.init(params) for name, o in opts.items()})
+
+        params, batch_stats, opt_states = jax.jit(_init_core)(init_rng)
         state = TrainState(
             params=params, batch_stats=batch_stats, opt_states=opt_states,
             rng=state_rng, epoch=jnp.asarray(0, jnp.int32),
