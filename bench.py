@@ -119,6 +119,7 @@ def main() -> None:
     timer.daemon = True
     timer.start()
     from unsupervised_anomaly_detection_brain_mri_tpu.utils.misc import (
+        device_peaks,
         enable_persistent_compilation_cache,
     )
 
@@ -226,8 +227,7 @@ def main() -> None:
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         step_flops = float(ca.get("flops", 0.0))
         dev_kind = jax.devices()[0].device_kind.lower()
-        # per-chip dense peak: v5e 197 TF bf16; v4 275 TF; fallback v5e
-        peak = 197e12 if ("v5" in dev_kind or "lite" in dev_kind) else 275e12
+        peak, _ = device_peaks(dev_kind)  # shared table (utils/misc.py)
         if step_flops > 0:
             detail[f"{prefix}_train_step_gflops"] = round(step_flops / 1e9, 1)
             detail[f"{prefix}_mfu_pct"] = round(

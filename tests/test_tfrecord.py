@@ -402,3 +402,172 @@ class TestRobustness:
         ri, rl, rs = read_tf_record(path, verify=True)
         np.testing.assert_array_equal(ri, images)
         assert rs[0] == 2
+
+
+class TestImportHardening:
+    """Round-5 review fixes: a stale own export must not satisfy changed
+    options, empty/corrupt caches must not poison the slice cache, forced
+    shape-mismatch imports must say they imported, exports are atomic,
+    and an imported split that orphans discovered patients warns."""
+
+    def _counting_cls(self, calls):
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.base import (
+            BaseDataset,
+        )
+
+        class TFRH(BaseDataset):
+            name = "TFRH"
+
+            def _get_patients(self):
+                return [{"name": "p0"}]
+
+            def _load_or_create_split(self):
+                return {"TRAIN": ["p0"], "VAL": [], "TEST": []}
+
+            def _gather_patient(self, patient):
+                calls.append(1)
+                img = np.full((4, 4), float(len(calls)), np.float32)
+                return [img], [np.zeros((4, 4), np.float32)]
+
+        return TFRH
+
+    def _clear_native_caches(self, tmp_path):
+        import glob
+        for f in (glob.glob(str(tmp_path / "*.npz"))
+                  + glob.glob(str(tmp_path / "*.uadc"))):
+            os.remove(f)
+
+    def test_stale_own_export_not_imported(self, tmp_path):
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.base import (
+            BaseOptions,
+        )
+
+        calls = []
+        cls = self._counting_cls(calls)
+        ds_a = cls(BaseOptions(dir=str(tmp_path), sliceEnd=130))
+        assert len(calls) == 1
+        export = ds_a.export_tfrecord()  # default name embeds cache key A
+        assert os.path.basename(export).startswith("TFRH_")
+        self._clear_native_caches(tmp_path)
+
+        # different options => different cache key: the stale export must
+        # NOT satisfy them — the pool rebuilds from volumes
+        ds_b = cls(BaseOptions(dir=str(tmp_path), sliceEnd=90))
+        assert len(calls) == 2
+        assert float(ds_b._images.max()) == 2.0
+
+        # positive control: the ORIGINAL options re-import their own export
+        self._clear_native_caches(tmp_path)
+        ds_a2 = cls(BaseOptions(dir=str(tmp_path), sliceEnd=130))
+        assert len(calls) == 2  # imported, not rebuilt
+        assert float(ds_a2._images.max()) == 1.0
+
+    def test_empty_tfrecord_auto_falls_back(self, tmp_path):
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.base import (
+            BaseOptions,
+        )
+
+        open(tmp_path / "TFRH_ref.tfrecord", "wb").close()
+        calls = []
+        ds = self._counting_cls(calls)(BaseOptions(dir=str(tmp_path)))
+        assert len(calls) == 1  # rebuilt from volumes
+        assert ds._images.shape[0] == 1
+
+    def test_empty_tfrecord_explicit_raises(self, tmp_path):
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.base import (
+            BaseOptions,
+        )
+
+        src = tmp_path / "empty.tfrecord"
+        open(src, "wb").close()
+        with pytest.raises(ValueError, match="no records"):
+            self._counting_cls([])(BaseOptions(
+                dir=str(tmp_path), importTFRecord=str(src)))
+
+    def test_corrupt_auto_discovered_falls_back(self, tmp_path):
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.base import (
+            BaseOptions,
+        )
+
+        (tmp_path / "TFRH_ref.tfrecord").write_bytes(b"not a tfrecord" * 8)
+        calls = []
+        ds = self._counting_cls(calls)(BaseOptions(dir=str(tmp_path)))
+        assert len(calls) == 1
+        assert ds._images.shape[0] == 1
+
+    def test_corrupt_explicit_raises(self, tmp_path):
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.base import (
+            BaseOptions,
+        )
+
+        src = tmp_path / "bad.tfrecord"
+        src.write_bytes(b"not a tfrecord" * 8)
+        with pytest.raises(Exception, match="(?i)truncat|corrupt|crc"):
+            self._counting_cls([])(BaseOptions(
+                dir=str(tmp_path), importTFRecord=str(src)))
+
+    def test_forced_shape_mismatch_imports_with_warning(self, tmp_path,
+                                                        caplog):
+        import logging
+
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.base import (
+            BaseOptions,
+        )
+
+        images, labels, sets = _pool(n=3)
+        src = tmp_path / "other_res.tfrecord"
+        write_tf_record(images, labels, sets, str(src))
+        with caplog.at_level(logging.WARNING):
+            ds = self._counting_cls([])(BaseOptions(
+                dir=str(tmp_path), importTFRecord=str(src),
+                sliceResolution=(128, 128)))
+        assert ds._images.shape[1:3] == (8, 6)  # imported anyway
+        assert any("importing anyway" in r.getMessage()
+                   for r in caplog.records)
+
+    def test_export_is_atomic(self, tmp_path):
+        images, labels, sets = _pool(n=2)
+        path = str(tmp_path / "out.tfrecord")
+        write_tf_record(images, labels, sets, path)
+        assert os.path.isfile(path)
+        assert not os.path.exists(path + ".tmp")
+
+    def test_split_orphans_warn(self, tmp_path, caplog):
+        import logging
+        import pickle
+
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.base import (
+            BaseDataset,
+            BaseOptions,
+        )
+
+        class SplitH(BaseDataset):
+            name = "SPLITH"
+
+            def _get_patients(self):
+                return [{"name": f"p{i}"} for i in range(4)]
+
+            def _gather_patient(self, patient):
+                img = np.zeros((4, 4), np.float32)
+                return [img], [img]
+
+        with open(tmp_path / "split-0.7-0.2-0.1.pckl", "wb") as f:
+            pickle.dump({"TRAIN": ["p0"], "VAL": ["p1"], "TEST": []}, f)
+        with caplog.at_level(logging.WARNING):
+            ds = SplitH(BaseOptions(dir=str(tmp_path)))
+        assert sum(len(v) for v in ds.patients_split.values()) == 2
+        assert any("in no TRAIN/VAL/TEST set" in r.getMessage()
+                   for r in caplog.records)
+
+
+def test_device_peaks_single_source():
+    """bench.py's MFU rows and the roofline tool's ceilings must quote the
+    same peaks — both now read utils.misc.device_peaks."""
+    from unsupervised_anomaly_detection_brain_mri_tpu.utils.misc import (
+        device_peaks,
+    )
+
+    assert device_peaks("TPU v5 lite") == (197e12, 819e9)
+    assert device_peaks("tpu v4") == (275e12, 1228e9)
+    flops, bw = device_peaks("cpu")
+    assert flops < 197e12 and bw < 819e9  # placeholder, never a real claim

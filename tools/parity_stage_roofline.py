@@ -49,6 +49,9 @@ from unsupervised_anomaly_detection_brain_mri_tpu.models.layers import (
     conv_transpose,
     leaky_relu,
 )
+from unsupervised_anomaly_detection_brain_mri_tpu.utils.misc import (
+    device_peaks,
+)
 from flax import linen as nn
 
 K_LO, K_HI, REPS = 2, 10, 3
@@ -159,12 +162,8 @@ def main():
     args = ap.parse_args()
     B, H = args.batch, args.image
     dev_kind = jax.devices()[0].device_kind.lower()
-    if "v5" in dev_kind or "lite" in dev_kind:
-        peak_flops, peak_bw = 197e12, 819e9  # v5e bf16 dense / HBM
-    elif "v4" in dev_kind:
-        peak_flops, peak_bw = 275e12, 1228e9
-    else:  # CPU smoke run: ceilings are meaningless, keep shape of output
-        peak_flops, peak_bw = 1e12, 100e9
+    # CPU smoke runs get placeholder ceilings: output keeps its shape
+    peak_flops, peak_bw = device_peaks(dev_kind)
 
     rng = np.random.default_rng(0)
     x_img = jnp.asarray(rng.uniform(0, 1, (B, H, H, 1)).astype(np.float32))

@@ -24,6 +24,7 @@ import dataclasses
 import hashlib
 import json
 import os
+import re
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -226,6 +227,19 @@ class BaseDataset:
         log.info("%s: imported reference patient split %s (%d/%d names "
                  "match discovered patients)", self.name, found[0],
                  len(matched), sum(len(v) for v in split.values()))
+        named = {n for ns in split.values() for n in ns}
+        orphans = sorted(known - named)
+        if orphans:
+            # the split defines membership (reference semantics), so
+            # unnamed patients land in NO set — say so loudly instead of
+            # silently excluding data the user just added
+            log.warning(
+                "%s: %d discovered patient(s) not named by the imported "
+                "split will be in no TRAIN/VAL/TEST set: %s%s — delete "
+                "the split pickle (or the persisted JSON manifest) to "
+                "re-split over all patients", self.name, len(orphans),
+                ", ".join(orphans[:5]),
+                ", ..." if len(orphans) > 5 else "")
         return split
 
     def get_patient_idx(self, split: str = "TRAIN") -> List[int]:
@@ -481,7 +495,24 @@ class BaseDataset:
             for root in {o.dir, o.cacheDir or o.dir}:
                 candidates += _glob.glob(
                     os.path.join(root, f"{self.name}*.tfrecord"))
-            candidates = sorted(set(candidates))
+            # our own export_tfrecord() default names embed the options
+            # cache key (`<name>_<16 hex>.tfrecord`); an export made under
+            # DIFFERENT options must not satisfy the current ones, or a
+            # stale export silently replaces re-preprocessing after an
+            # option change.  Reference-written caches encode options in
+            # the readable filename instead and never match this shape.
+            own_re = re.compile(
+                re.escape(self.name) + r"_[0-9a-f]{16}\.tfrecord$")
+            own_key = f"{self.name}_{self.cache_key()}.tfrecord"
+            stale = [c for c in candidates
+                     if own_re.search(os.path.basename(c))
+                     and os.path.basename(c) != own_key]
+            if stale:
+                logging.getLogger(__name__).info(
+                    "%s: skipping TFRecord export(s) built under other "
+                    "options: %s", self.name,
+                    ", ".join(os.path.basename(c) for c in stale))
+            candidates = sorted(set(candidates) - set(stale))
             if len(candidates) > 1:
                 logging.getLogger(__name__).warning(
                     "%s: several reference TFRecord caches found (%s); "
@@ -495,17 +526,44 @@ class BaseDataset:
             tfrecord,
         )
 
-        images, labels, sets = tfrecord.read_tf_record(tfr)
+        # full payload CRC32C even without the native lib: this is a
+        # one-time migration of training data — silent corruption here
+        # poisons every later run through the write-through cache.
+        try:
+            images, labels, sets = tfrecord.read_tf_record(tfr, verify=True)
+        except Exception as e:
+            if o.importTFRecord:
+                raise  # the user asked for this exact file: fail loudly
+            logging.getLogger(__name__).warning(
+                "%s: auto-discovered TFRecord cache %s is unreadable (%s) "
+                "— falling back to preprocessing", self.name, tfr, e)
+            return False
+        if images.shape[0] == 0:
+            # never import (and then cache) an empty pool: an interrupted
+            # export would poison every subsequent run
+            if o.importTFRecord:
+                raise ValueError(
+                    f"importTFRecord file {tfr} holds no records")
+            logging.getLogger(__name__).warning(
+                "%s: TFRecord cache %s holds no records — ignoring it",
+                self.name, tfr)
+            return False
         expect = ((o.cropHeight, o.cropWidth) if o.useCrops
                   else tuple(o.sliceResolution) if o.sliceResolution
                   else None)
-        if expect and images.shape[0] and tuple(images.shape[1:3]) != expect:
+        if expect and tuple(images.shape[1:3]) != expect:
+            if not o.importTFRecord:
+                logging.getLogger(__name__).warning(
+                    "%s: TFRecord cache %s holds %dx%d slices but the "
+                    "options ask for %dx%d — ignoring it (set "
+                    "importTFRecord to force)",
+                    self.name, tfr, images.shape[1], images.shape[2],
+                    *expect)
+                return False
             logging.getLogger(__name__).warning(
                 "%s: TFRecord cache %s holds %dx%d slices but the options "
-                "ask for %dx%d — ignoring it (set importTFRecord to force)",
+                "ask for %dx%d — importing anyway (importTFRecord set)",
                 self.name, tfr, images.shape[1], images.shape[2], *expect)
-            if not o.importTFRecord:
-                return False
         logging.getLogger(__name__).info(
             "%s: imported %d slices from reference TFRecord cache %s",
             self.name, images.shape[0], tfr)

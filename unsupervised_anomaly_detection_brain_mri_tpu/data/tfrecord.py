@@ -22,6 +22,7 @@ through the Python fallback.
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Dict, List, Optional, Tuple
 
@@ -297,7 +298,10 @@ def write_tf_record(images: np.ndarray, labels: np.ndarray,
     images = np.ascontiguousarray(images, np.float32)
     labels = np.ascontiguousarray(labels, np.float32)
     sets = np.ascontiguousarray(sets, np.int32)
-    with open(path, "wb") as f:
+    # write-then-rename: a crashed export must not leave a truncated
+    # .tfrecord in place, where the auto-import discovery would find it
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         for i in range(images.shape[0]):
             img = images[i]
             payload = _encode_example({
@@ -313,3 +317,4 @@ def write_tf_record(images: np.ndarray, labels: np.ndarray,
             f.write(struct.pack("<I", _masked_crc(head)))
             f.write(payload)
             f.write(struct.pack("<I", _masked_crc(payload)))
+    os.replace(tmp, path)

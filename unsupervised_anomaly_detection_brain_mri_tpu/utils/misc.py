@@ -30,6 +30,21 @@ def enable_persistent_compilation_cache(
         pass  # older jax or read-only fs: run without the cache
 
 
+def device_peaks(dev_kind: str) -> tuple:
+    """(peak_dense_flops_per_sec, peak_hbm_bytes_per_sec) for a TPU
+    ``device_kind`` string — the single source for the MFU rows in
+    ``bench.py`` and the ceilings in ``tools/parity_stage_roofline.py``
+    (they must quote the same peaks or the published numbers diverge).
+    Unknown kinds (CPU smoke runs) get placeholder ceilings so output
+    keeps its shape without implying a real utilisation number."""
+    kind = dev_kind.lower()
+    if "v5" in kind or "lite" in kind:
+        return 197e12, 819e9  # v5e bf16 dense / HBM
+    if "v4" in kind:
+        return 275e12, 1228e9
+    return 1e12, 100e9
+
+
 def timestamp() -> str:
     """(`utils/utils.py` timestamp)."""
     return datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
