@@ -87,10 +87,12 @@ def _reconstruct_volume(trainer, state, x: np.ndarray, options: Options,
     if mc > 1:
         mask = eroded[..., None].astype(jnp.float32)
         recs, log_vars = [], []
+        raw_last = None
         for i in range(mc):
             r = rec_dev(state, xd, dropout=True,
                         rng=jax.random.fold_in(rng, i))
-            recs.append(jnp.asarray(r["reconstruction"]) * mask)
+            raw_last = jnp.asarray(r["reconstruction"])
+            recs.append(raw_last * mask)
             if "log_var" in r:
                 log_vars.append(jnp.asarray(r["log_var"]))
         recs = jnp.stack(recs, axis=0)
@@ -104,12 +106,16 @@ def _reconstruct_volume(trainer, state, x: np.ndarray, options: Options,
         log_var_mean = sigmas.mean(axis=0) if log_vars else None
     else:
         r = rec_dev(state, xd, dropout=False, rng=rng)
-        rec = jnp.asarray(r["reconstruction"])
+        rec = raw_last = jnp.asarray(r["reconstruction"])
         epistemic = combined = None
         log_var_mean = (jnp.asarray(r["log_var"])
                         if "log_var" in r else None)
-    l1 = jnp.sum(jnp.abs(xd - rec), axis=(1, 2, 3))
-    l2 = jnp.sum(jnp.sqrt((xd - rec) ** 2), axis=(1, 2, 3))
+    # exported l1/l2 errors come from the last (UNMASKED) sample — the
+    # reference records results['l1err'] of its final reconstruct() call
+    # (`Evaluation.py:277-280`), not an error against the masked MC mean;
+    # masking would charge every eroded rim voxel its full |x|
+    l1 = jnp.sum(jnp.abs(xd - raw_last), axis=(1, 2, 3))
+    l2 = jnp.sum(jnp.sqrt((xd - raw_last) ** 2), axis=(1, 2, 3))
     return {"reconstruction": rec, "epistemic": epistemic,
             "combined": combined, "log_var": log_var_mean,
             "l1": l1, "l2": l2}
@@ -145,11 +151,13 @@ def _reconstruct_volume_group(trainer, state, x_group, options: Options,
             mask[k, : er.shape[0]] = np.asarray(er, np.float32)[..., None]
         mask = jnp.asarray(mask)
         recs = []
+        raw_last = None
         for i in range(mc):
             ri = jax.vmap(lambda kk: jax.random.fold_in(kk, i))(rngs_d)
             r = trainer.reconstruct_volumes_device(
                 state, vols_d, dropout=True, rngs=ri)
-            recs.append(jnp.asarray(r["reconstruction"]) * mask)
+            raw_last = jnp.asarray(r["reconstruction"])
+            recs.append(raw_last * mask)
         recs = jnp.stack(recs, axis=0)  # (mc, K, S, H, W, 1)
         rec = recs.mean(axis=0)
         epistemic = M.combined_predictive_uncertainty(
@@ -160,10 +168,12 @@ def _reconstruct_volume_group(trainer, state, x_group, options: Options,
     else:
         r = trainer.reconstruct_volumes_device(
             state, vols_d, dropout=False, rngs=rngs_d)
-        rec = jnp.asarray(r["reconstruction"])
+        rec = raw_last = jnp.asarray(r["reconstruction"])
         epistemic = combined = None
-    l1 = jnp.sum(jnp.abs(vols_d - rec), axis=(2, 3, 4))  # (K, S_max)
-    l2 = jnp.sum(jnp.sqrt((vols_d - rec) ** 2), axis=(2, 3, 4))
+    # l1/l2 from the last UNMASKED sample, matching `_reconstruct_volume`
+    # and the reference (`Evaluation.py:277-280`)
+    l1 = jnp.sum(jnp.abs(vols_d - raw_last), axis=(2, 3, 4))  # (K, S_max)
+    l2 = jnp.sum(jnp.sqrt((vols_d - raw_last) ** 2), axis=(2, 3, 4))
     out = []
     for k, x in enumerate(x_group):
         S = int(x.shape[0])
@@ -373,9 +383,12 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
                   f"{vol.shape} smaller than slice range {slice_span}")
             skipped.add(p)
             return None
-        s0 = getattr(dataset.options, "sliceStart", 0)
-        s1 = min(getattr(dataset.options, "sliceEnd", vol.shape[2]),
-                 vol.shape[2])
+        # falsy sliceStart/sliceEnd mean "full volume depth", exactly like
+        # the reference's truthiness guards (`Evaluation.py:216-222`) — a
+        # literal sliceEnd=0 must not produce 0-slice volumes
+        s0 = getattr(dataset.options, "sliceStart", 0) or 0
+        se = getattr(dataset.options, "sliceEnd", 0)
+        s1 = min(se, vol.shape[2]) if se else vol.shape[2]
         x = _zoom_volume(vol[:, :, s0:s1], target)  # (S, H, W)
         seg = _zoom_volume(gt[:, :, s0:s1], target, seg=True)
         skm = _zoom_volume(skullmap[:, :, s0:s1], target, seg=True)
@@ -440,9 +453,11 @@ def _evaluate(dataset, trainer, state, sample_dir: str, options: Options,
             raw_diffs.append(np.asarray(raw))
             if res["log_var"] is not None:
                 log_vars.append(np.asarray(res["log_var"][..., 0]))
-            kept_idx = len(xs)  # index among kept patients, parity with
-            # the reference's enumeration of evaluated patients (:195)
-            slice_names.extend(f"{kept_idx}_{s}" for s in range(s0, s1))
+            # artifact names use the patient's index in the FULL split
+            # enumeration — the reference's `p` counts skipped volumes too
+            # (`Evaluation.py:195,207-209`), so filenames stay comparable
+            # side-by-side even when a volume fails the shape sanity check
+            slice_names.extend(f"{it['p']}_{s}" for s in range(s0, s1))
 
         # residuals accumulate on DEVICE (every downstream curve/CC/metric
         # consumer is on-device; ONE host copy is made where artifacts need

@@ -402,6 +402,9 @@ class BaseTrainer:
                     print(f"[{self.config.trainer}] resume: early stopping "
                           f"already triggered at epoch {start_epoch - 1}; "
                           "nothing left to train")
+                    # every exit path owes post_fit (the VAE_You/GMVAE
+                    # lambda sweep) — a persisted sweep makes it a no-op
+                    self.post_fit(dataset, state)
                     return state
 
         train_pool = self._pool_from_dataset(dataset, "TRAIN")
@@ -531,7 +534,13 @@ class BaseTrainer:
         if pool is not None and len(pool["x"]):
             n = min(8, int(pool["x"].shape[0]))
             x = np.asarray(pool["x"][:n])
-            rec = self.reconstruct(state, x)["reconstruction"]
+            # plain eval-mode forward for the thumbnail grid — going
+            # through reconstruct() would run restoration trainers' full
+            # 150-step restore loop twice per epoch of pure logging work;
+            # the reference grid is the model reconstruction too
+            # (`trainers/AEMODEL.py:37-42`)
+            rec = np.asarray(
+                self._train_visual_fn(state, {"x": jnp.asarray(x)}))
             self.logger.log_visuals(epoch, x, rec, phase)
         self.logger.flush()
 
@@ -553,16 +562,67 @@ class BaseTrainer:
     def post_fit(self, dataset, state: TrainState) -> None:
         """Hook after training (e.g. VAE_You lambda sweep)."""
 
+    def determine_best_lambda(self, dataset, state: TrainState) -> float:
+        """tv_lambda sweep on 20% of VAL for restoration trainers
+        (`trainers/VAE_You.py:149-173`, `trainers/GMVAE.py:199-223`):
+        pick the lambda in {0.0 .. 1.9} minimising sum|x - restored|.
+        The swept value persists to ``<workdir>/tv_lambda.json`` so a
+        fresh process (separate eval run, serving) restores with it
+        instead of the -1.0 sweep sentinel.  Requires the subclass's
+        ``_restoration_fn``."""
+        c = self.config
+        arr = dataset.slices("VAL")
+        bs = min(c.batchsize, len(arr))
+        if bs == 0:
+            print("determine_best_lambda: empty VAL split, keeping lambda")
+            return self.tv_lambda_value
+        n_batches = max(1, int((len(arr) // bs) * 0.2))
+        batches = arr[: n_batches * bs].reshape(
+            n_batches, bs, *arr.shape[1:])
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        outputs_fn = self._restoration_fn(variables)
+
+        @jax.jit
+        def sweep(bs):
+            lambdas = jnp.arange(20, dtype=jnp.float32) / 10.0
+
+            def err_for_lambda(lam):
+                def err_one(b):
+                    restored = restore_inputs(outputs_fn, b, lam,
+                                              c.restore_lr, c.restore_steps)
+                    return jnp.sum(jnp.abs(b - restored))
+
+                return jnp.mean(jax.lax.map(err_one, bs))
+
+            errors = jax.lax.map(err_for_lambda, lambdas)
+            return lambdas[jnp.argmin(errors)], errors
+
+        best, _ = sweep(jnp.asarray(batches))
+        self.tv_lambda_value = float(best)
+        print(f"Best lambda: {self.tv_lambda_value}")
+        if self.workdir:
+            with open(os.path.join(self.workdir, "tv_lambda.json"),
+                      "w") as f:
+                json.dump({"tv_lambda_value": self.tv_lambda_value}, f)
+        return self.tv_lambda_value
+
     # ------------------------------------------------------------------
     # checkpointing (orbax)
 
     def _ckpt_manager(self):
+        # one manager per trainer: constructing a CheckpointManager scans
+        # the checkpoint directory, so a fresh one per save/load call paid
+        # a re-enumeration every epoch
         import orbax.checkpoint as ocp
-        path = os.path.abspath(os.path.join(self.workdir, "ckpt"))
-        os.makedirs(path, exist_ok=True)
-        return ocp.CheckpointManager(
-            path, options=ocp.CheckpointManagerOptions(
-                max_to_keep=self.config.keepCheckpoints))
+        if getattr(self, "_ckpt_mngr", None) is None:
+            path = os.path.abspath(os.path.join(self.workdir, "ckpt"))
+            os.makedirs(path, exist_ok=True)
+            self._ckpt_mngr = ocp.CheckpointManager(
+                path, options=ocp.CheckpointManagerOptions(
+                    max_to_keep=self.config.keepCheckpoints))
+        return self._ckpt_mngr
 
     def save_checkpoint(self, state: TrainState, epoch: int) -> None:
         import orbax.checkpoint as ocp
@@ -638,6 +698,15 @@ class BaseTrainer:
             epoch=jnp.asarray(step, jnp.int32))
         state = self._apply_mesh_layout(state)
         print(f"Restored checkpoint at epoch {step}")
+        lam_path = os.path.join(self.workdir, "tv_lambda.json")
+        if os.path.isfile(lam_path):
+            # the post-fit lambda sweep result must survive into fresh
+            # processes (eval/serving), or they'd restore with the -1.0
+            # sweep sentinel instead of the swept value
+            with open(lam_path) as f:
+                self.tv_lambda_value = float(
+                    json.load(f)["tv_lambda_value"])
+            print(f"Restored swept tv_lambda={self.tv_lambda_value}")
         return state, int(step)
 
     # ------------------------------------------------------------------
@@ -790,7 +859,8 @@ class VAE_You(VAE):
             variables["batch_stats"] = state.batch_stats
         rng = rng if rng is not None else jax.random.key(0)
         restored = self._reconstruct_jit[key](
-            variables, jnp.asarray(x), jnp.float32(self.tv_lambda_value), rng)
+            variables, jnp.asarray(x),
+            jnp.float32(max(self.tv_lambda_value, 0.0)), rng)
         return {"reconstruction": restored}
 
     def batched_volume_restoration(self) -> bool:
@@ -827,46 +897,9 @@ class VAE_You(VAE):
             rngs = jax.random.split(jax.random.key(0), n_orig)
         vols, rngs = self._shard_volume_stack(vols, rngs)
         restored = self._reconstruct_jit[key](
-            variables, vols, jnp.float32(self.tv_lambda_value), rngs)
+            variables, vols,
+            jnp.float32(max(self.tv_lambda_value, 0.0)), rngs)
         return {"reconstruction": restored[:n_orig]}
-
-    def determine_best_lambda(self, dataset, state: TrainState) -> float:
-        """Parity: `trainers/VAE_You.py:149-173` — sweep tv_lambda over 20%
-        of VAL, pick the lambda minimising sum|x - restored|."""
-        c = self.config
-        arr = dataset.slices("VAL")
-        bs = min(c.batchsize, len(arr))
-        if bs == 0:
-            print("determine_best_lambda: empty VAL split, keeping lambda")
-            return self.tv_lambda_value
-        n_batches = max(1, int((len(arr) // bs) * 0.2))
-        batches = arr[: n_batches * bs].reshape(
-            n_batches, bs, *arr.shape[1:])
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
-        outputs_fn = self._restoration_fn(variables)
-
-        @jax.jit
-        def sweep(bs):
-            lambdas = jnp.arange(20, dtype=jnp.float32) / 10.0
-
-            def err_for_lambda(lam):
-                def err_one(b):
-                    restored = restore_inputs(outputs_fn, b, lam,
-                                              c.restore_lr, c.restore_steps)
-                    return jnp.sum(jnp.abs(b - restored))
-
-                return jnp.mean(jax.lax.map(err_one, bs))
-
-            errors = jax.lax.map(err_for_lambda, lambdas)
-            return lambdas[jnp.argmin(errors)], errors
-
-        best, errors = sweep(jnp.asarray(batches))
-        self.tv_lambda_value = float(best)
-        print(f"Best lambda: {self.tv_lambda_value}")
-        return self.tv_lambda_value
-
 
 class CE(BaseTrainer):
     """Context-encoder AE (`trainers/CE.py`): train on masked inputs, loss
@@ -959,42 +992,6 @@ class GMVAE(BaseTrainer):
     def post_fit(self, dataset, state: TrainState) -> None:
         if self.tv_lambda_value < 0 and self.config.restore_steps > 0:
             self.determine_best_lambda(dataset, state)
-
-    def determine_best_lambda(self, dataset, state: TrainState) -> float:
-        """tv_lambda sweep on 20% of VAL (`trainers/GMVAE.py:199-223`)."""
-        c = self.config
-        arr = dataset.slices("VAL")
-        bs = min(c.batchsize, len(arr))
-        if bs == 0:
-            print("determine_best_lambda: empty VAL split, keeping lambda")
-            return self.tv_lambda_value
-        n_batches = max(1, int((len(arr) // bs) * 0.2))
-        batches = arr[: n_batches * bs].reshape(
-            n_batches, bs, *arr.shape[1:])
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
-        outputs_fn = self._restoration_fn(variables)
-
-        @jax.jit
-        def sweep(bs):
-            lambdas = jnp.arange(20, dtype=jnp.float32) / 10.0
-
-            def err_for_lambda(lam):
-                def err_one(b):
-                    restored = restore_inputs(outputs_fn, b, lam,
-                                              c.restore_lr, c.restore_steps)
-                    return jnp.sum(jnp.abs(b - restored))
-
-                return jnp.mean(jax.lax.map(err_one, bs))
-
-            errors = jax.lax.map(err_for_lambda, lambdas)
-            return lambdas[jnp.argmin(errors)], errors
-
-        best, _ = sweep(jnp.asarray(batches))
-        self.tv_lambda_value = float(best)
-        print(f"Best lambda: {self.tv_lambda_value}")
-        return self.tv_lambda_value
 
     def _restoration_fn(self, variables, dropout: bool = False):
         """(x, rng) -> (loss, xz_mu) from ONE forward, for the restoration

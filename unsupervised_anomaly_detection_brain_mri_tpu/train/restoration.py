@@ -8,8 +8,8 @@ Parity targets:
   * `trainers/GMVAE.py:94-95,166-197` — same loop with the GMVAE 4-term loss.
   * `trainers/ceVAE.py:51,136-139` — one-shot gradient anomaly map
     ``L1_vae * |d loss_vae / d x|`` and restoration ``x - lambda * anomaly``.
-  * `trainers/VAE_You.py:149-173` — ``determine_best_lambda`` sweep over
-    tv_lambda in {0.0,...,1.9}, vectorised on device.
+  * (`trainers/VAE_You.py:149-173`'s ``determine_best_lambda`` sweep lives
+    on ``BaseTrainer`` — it needs the trainer's ``_restoration_fn``.)
 
 The restoration objective shares ONE model forward between the pixel loss
 and the TV reconstruction term — exactly like the reference graph, where
@@ -87,25 +87,3 @@ def gradient_anomaly_map(loss_vae_fn: Callable[[Array], Array],
     return l1_vae * jnp.abs(g)
 
 
-def determine_best_lambda(
-    restore_fn: Callable[[Array, Array], Array],
-    batches: Array,
-    lambdas: Array,
-) -> Tuple[Array, Array]:
-    """Sweep tv_lambda values, returning (best_lambda, mean_errors).
-
-    ``restore_fn(x, tv_lambda) -> restored``; error = sum |x - restored| per
-    batch, averaged over batches (`trainers/VAE_You.py:149-173`).  The sweep
-    runs each lambda sequentially (jit-compiled once) — lambdas is a 1-D
-    array, batches a (N, B, H, W, C) stack.
-    """
-
-    def err_for_lambda(lam):
-        def err_one(b):
-            restored = restore_fn(b, lam)
-            return jnp.sum(jnp.abs(b - restored))
-
-        return jnp.mean(jax.vmap(err_one)(batches))
-
-    errors = jax.lax.map(err_for_lambda, lambdas)
-    return lambdas[jnp.argmin(errors)], errors

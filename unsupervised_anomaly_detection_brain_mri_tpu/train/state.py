@@ -8,7 +8,7 @@ functional TrainState pytree + optax transforms with parameter masks.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping, Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,27 +46,6 @@ def gan_adam(config: Config) -> optax.GradientTransformation:
     return optax.adam(config.learningrate, b1=0.5, b2=0.9)
 
 
-def masked(opt: optax.GradientTransformation,
-           mask: Any) -> optax.GradientTransformation:
-    return optax.masked(opt, mask)
-
-
-def param_group_mask(params: Any, predicate: Callable[[Tuple[str, ...]], bool]
-                     ) -> Any:
-    """Boolean pytree mask selecting parameters whose path satisfies
-    ``predicate`` (the functional analogue of TF var-name scoping,
-    `trainers/AAE.py:62-64`)."""
-    def label(path) -> bool:
-        keys = tuple(
-            p.key if hasattr(p, "key") else str(p) for p in path)
-        return predicate(keys)
-
-    def mask_fn(path, leaf):
-        return label(path)
-
-    return jax.tree_util.tree_map_with_path(mask_fn, params)
-
-
 class TrainState(struct.PyTreeNode):
     """Functional training state.
 
@@ -87,24 +66,6 @@ class TrainState(struct.PyTreeNode):
         if self.batch_stats is not None:
             v["batch_stats"] = self.batch_stats
         return v
-
-
-def create_train_state(
-    rng: Array,
-    params: Any,
-    batch_stats: Any,
-    optimizers: Dict[str, optax.GradientTransformation],
-) -> Tuple[TrainState, Dict[str, optax.GradientTransformation]]:
-    opt_states = {name: opt.init(params) for name, opt in optimizers.items()}
-    state = TrainState(
-        params=params,
-        batch_stats=batch_stats,
-        opt_states=opt_states,
-        rng=rng,
-        epoch=jnp.asarray(0, jnp.int32),
-        step=jnp.asarray(0, jnp.int32),
-    )
-    return state, optimizers
 
 
 def count_params(params: Any) -> int:
