@@ -68,13 +68,24 @@ def test_nifti_scl_scaling(tmp_path, rng):
                                rtol=1e-6)
 
 
-def test_nifti_scl_inter_only(tmp_path, rng):
+def test_nifti_slope_zero_ignores_inter(tmp_path, rng):
     raw = rng.integers(0, 255, (4, 4, 4)).astype(np.uint8)
     p = str(tmp_path / "inter.nii")
-    # slope 0 means "no slope stored"; inter still applies per our reader
+    # NIfTI-1 spec: scl_slope == 0 means NO scaling — scl_inter must be
+    # ignored too (ANALYZE-derived headers leave garbage there)
     craft_nifti(p, raw, dtype=np.uint8, scl_slope=0.0, scl_inter=-3.0)
     back, _ = formats.read_nifti(p)
-    np.testing.assert_allclose(back, raw.astype(np.float64) - 3.0)
+    np.testing.assert_allclose(back, raw.astype(np.float64))
+
+
+def test_nifti_nonfinite_scl_ignored(tmp_path, rng):
+    raw = rng.integers(0, 255, (4, 4, 4)).astype(np.uint8)
+    p = str(tmp_path / "nan_inter.nii")
+    # a NaN scl_inter with slope 0 must not turn the whole volume NaN
+    craft_nifti(p, raw, dtype=np.uint8, scl_slope=0.0,
+                scl_inter=float("nan"))
+    back, _ = formats.read_nifti(p)
+    np.testing.assert_allclose(back, raw.astype(np.float64))
 
 
 @pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.int32,

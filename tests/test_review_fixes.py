@@ -194,3 +194,106 @@ def test_artifact_names_count_skipped_patients(tmp_path):
     # artifacts must be named 1_* / 2_*, exactly like the reference's
     # enumeration over ALL split patients
     assert "0" not in prefixes and {"1", "2"} <= prefixes, prefixes
+
+
+class TestDataLayerReviewFixes:
+    """Third review pass (ops/data/parallel): BRAINWEB's string-valued
+    filtered_files must not be iterated character-by-character (the
+    reference gathers each BrainWeb volume ONCE, `BRAINWEB.py:122,240`),
+    and the slice cache must not survive a patient re-split (the cached
+    pool bakes per-slice set assignments)."""
+
+    def _counting_cls(self, gather_calls, files_value):
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.base import (
+            BaseDataset,
+        )
+
+        class CountD(BaseDataset):
+            name = "COUNTD"
+
+            def _get_patients(self):
+                return [{"name": "p0", "filtered_files": files_value}]
+
+            def _load_or_create_split(self):
+                return {"TRAIN": ["p0"], "VAL": [], "TEST": []}
+
+            def _gather_volume(self, patient, filename):
+                gather_calls.append(filename)
+                img = np.ones((4, 4), np.float32) * 0.5
+                img[0, 0] = 0.0  # keep_slice needs >1 unique value
+                return [img], [np.zeros((4, 4), np.float32)]
+
+        return CountD
+
+    def test_string_filtered_files_gathers_once(self, tmp_path):
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.base import (
+            BaseOptions,
+        )
+
+        calls = []
+        cls = self._counting_cls(calls, "/some/long/path/volume.mnc.gz")
+        ds = cls(BaseOptions(dir=str(tmp_path), cache=False))
+        assert calls == ["/some/long/path/volume.mnc.gz"]
+        assert ds._images.shape[0] == 1
+
+    def test_brainweb_patients_carry_file_lists(self, tmp_path):
+        import gzip
+
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.brainweb import (
+            BRAINWEB,
+        )
+
+        # discovery-only check: one fake .mnc.gz in the expected layout
+        d = tmp_path / "normal"
+        d.mkdir()
+        with gzip.open(d / "t1_icbm_normal_1mm_pn3_rf20.mnc.gz", "wb") as f:
+            f.write(b"\x00")
+        (tmp_path / "groundtruth").mkdir()
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.brainweb import (
+            BrainwebOptions,
+        )
+
+        pats = BRAINWEB.__new__(BRAINWEB)
+        pats.options = BrainwebOptions(dir=str(tmp_path))
+        found = pats._get_patients()
+        assert found, "fixture file not discovered"
+        for p in found:
+            assert isinstance(p["filtered_files"], list), p
+
+    def test_cache_key_tracks_patient_split(self, tmp_path):
+        from unsupervised_anomaly_detection_brain_mri_tpu.data.base import (
+            BaseOptions,
+        )
+
+        calls = []
+        cls = self._counting_cls(calls, ["f0"])
+        split_holder = [{"TRAIN": ["p0"], "VAL": [], "TEST": []}]
+        cls._load_or_create_split = lambda self: split_holder[0]
+        ds1 = cls(BaseOptions(dir=str(tmp_path), cache=True))
+        assert len(calls) == 1
+        assert int(ds1._sets[0]) == 0  # TRAIN
+        # re-split (as after deleting the split manifest): the cache must
+        # NOT serve the old per-slice set assignment
+        split_holder[0] = {"TRAIN": [], "VAL": [], "TEST": ["p0"]}
+        ds2 = cls(BaseOptions(dir=str(tmp_path), cache=True))
+        assert int(ds2._sets[0]) == 2  # TEST, rebuilt — not stale TRAIN
+
+
+def test_initialize_multihost_argless_is_single_host_noop():
+    """The documented contract: argless bring-up on a single host must not
+    raise (run in a subprocess so jax.distributed state never leaks into
+    this test process)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from unsupervised_anomaly_detection_brain_mri_tpu.parallel."
+        "collectives import initialize_multihost\n"
+        "initialize_multihost()\n"
+        "print('NOOP-OK')\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "NOOP-OK" in r.stdout

@@ -271,6 +271,11 @@ class BaseDataset:
             "rot": list(o.rotations), "proto": list(o.filterProtocol or []),
             "type": list(o.filterType or []), "fmt": o.format,
             "n": o.numSamples,
+            # the cached pool bakes per-slice TRAIN/VAL/TEST assignments,
+            # so the patient split is part of the cache identity: deleting
+            # the split manifest to re-split must NOT keep serving the old
+            # assignment from cache (train/test leakage)
+            "split": getattr(self, "patients_split", None),
         }, sort_keys=True)
         return hashlib.sha1(raw.encode()).hexdigest()[:16]
 
@@ -321,6 +326,11 @@ class BaseDataset:
         path's volume reload uses only the first, matching the
         reference's `len(diffs)==0` guard at `Evaluation.py:202-204`)."""
         files = patient.get("filtered_files") or [None]
+        if isinstance(files, str):
+            # reference-shaped patient dicts carry a bare path string
+            # (`BRAINWEB.py:240`); iterating it would gather the volume
+            # once PER CHARACTER of the filename
+            files = [files]
         images, labels = [], []
         for filename in files:
             imgs, labs = self._gather_volume(patient, filename)

@@ -78,7 +78,7 @@ class BRAINWEB(BaseDataset):
                         "name": os.path.basename(fname),
                         "type": _type,
                         "fullpath": fname,
-                        "filtered_files": fname,
+                        "filtered_files": [fname],
                         "groundtruth_filename": os.path.join(
                             o.dir, o.folderGT, _GT_FILES[_type]),
                     })

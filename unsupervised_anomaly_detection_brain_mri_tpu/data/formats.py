@@ -97,10 +97,13 @@ def read_nifti(path: str) -> Tuple[np.ndarray, Dict[str, Any]]:
         raw, dtype=np.dtype(np_dtype).newbyteorder(byte_order),
         count=count, offset=data_offset)
     data = arr.reshape(shape, order="F").astype(np.float64)
-    if scl_slope not in (0.0, 1.0):
+    # NIfTI-1: scl_slope == 0 means NO scaling — scl_inter must be ignored
+    # too (ANALYZE-derived headers leave garbage/NaN there); non-finite
+    # values are likewise ignored rather than poisoning the volume
+    if (np.isfinite(scl_slope) and np.isfinite(scl_inter)
+            and scl_slope != 0.0
+            and (scl_slope != 1.0 or scl_inter != 0.0)):
         data = data * scl_slope + scl_inter
-    elif scl_inter not in (0.0,):
-        data = data + scl_inter
     meta = {"pixdim": pixdim[1:4], "format": "nifti"}
     # voxel->world geometry: sform rows when sform_code > 0, else a
     # diagonal affine from pixdim (the reference keeps SimpleITK's

@@ -226,6 +226,8 @@ class MSSEG2008(_MSBase):
                 else:
                     patient["groundtruth"] = os.path.join(
                         entry.path, f"{name}_lesion.aligned.nii.gz")
+                    # NO .aligned infix, unlike the volumes/lesion — the
+                    # reference names it this way too (`MSSEG2008.py:319`)
                     patient["skullmap"] = os.path.join(
                         entry.path, f"{name}_skullmap.nii.gz")
                 patients.append(patient)

@@ -120,12 +120,10 @@ class SYNTH:
         rng = np.random.default_rng(options.seed)
         self.patients: List[Dict] = []
         for i in range(options.numPatients):
-            prng = np.random.default_rng(options.seed + 1000 + i)
             self.patients.append({
                 "name": f"synth{i:03d}",
                 "seed": options.seed + 1000 + i,
                 "withLesions": options.withLesions,
-                "rng": prng,
             })
         # patient-level split
         n = len(self.patients)

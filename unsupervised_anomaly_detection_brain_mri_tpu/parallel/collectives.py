@@ -28,17 +28,27 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     the environment (`jax.distributed.initialize`)."""
     if num_processes is not None and num_processes <= 1:
         return
+    explicit = (coordinator_address is not None
+                or (num_processes is not None and num_processes > 1)
+                or process_id is not None)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
-    except RuntimeError as e:
-        # ONLY double-initialization is benign; swallowing genuine bring-up
-        # failures (wrong/unreachable coordinator) would let every host
-        # proceed as an independent single-process run, silently training
-        # divergent copies into the same workdir
+    except Exception as e:
+        # double-initialization is always benign
         if "once" in str(e) or "already" in str(e).lower():
             return
+        if not explicit:
+            # argless call on a plain single host: cluster auto-detection
+            # finding nothing IS the documented no-op, not a failure
+            print(f"[multihost] single-host run "
+                  f"({type(e).__name__}: {e})")
+            return
+        # an EXPLICITLY requested multi-host bring-up must fail loudly:
+        # swallowing a wrong/unreachable coordinator would let every host
+        # proceed as an independent single-process run, silently training
+        # divergent copies into the same workdir
         raise
 
 
