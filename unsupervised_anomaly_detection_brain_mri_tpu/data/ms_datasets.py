@@ -30,7 +30,6 @@ from unsupervised_anomaly_detection_brain_mri_tpu.data.base import (
 )
 from unsupervised_anomaly_detection_brain_mri_tpu.data.volume import (
     NII,
-    NRRD,
     open_volume,
 )
 

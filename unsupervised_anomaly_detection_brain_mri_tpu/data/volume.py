@@ -14,7 +14,6 @@ from __future__ import annotations
 from typing import Dict, Optional, Tuple
 
 import numpy as np
-from scipy import ndimage as ndi
 
 from unsupervised_anomaly_detection_brain_mri_tpu.data import formats
 

@@ -18,7 +18,6 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from unsupervised_anomaly_detection_brain_mri_tpu.config import Config, Options
